@@ -1,0 +1,73 @@
+"""Extraction UDF: byte-identical golden fixtures + UDF/reference parity.
+
+The golden files under tests/golden_text/ pin the byte contract
+(BASELINE.json input_hint: byte-identical extracted text per url)."""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web3research_etl_spark.functions.extract import (
+    _LANG_RES,
+    extract_text_bytes,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_text")
+
+CASES = {
+    "basic": b"<html><body><h1>Hello</h1><p>World &amp; friends</p></body></html>",
+    "script_style": (
+        b"<html><head><style>p{}</style><script>if(1<2){alert('x')}</script>"
+        b"</head><body><p>kept</p></body></html>"
+    ),
+    "comments_entities": b"<div>a &lt;tag&gt; &quot;q&quot; &#39;s&#39;<!-- no --></div>end",
+    "blocks_newlines": b"<p>one</p><p>two</p><ul><li>three</li><li>four</li></ul>",
+    "invalid_utf8": b"<p>caf\xc3\xa9 ok \xff broken</p>",
+    "empty": b"",
+    "no_tags": b"just plain text  with   spaces",
+}
+
+
+def test_goldens_byte_identical():
+    for name, html in CASES.items():
+        path = os.path.join(GOLDEN_DIR, f"{name}.txt")
+        got = extract_text_bytes(html).encode("utf-8")
+        with open(path, "rb") as f:
+            assert got == f.read(), f"golden mismatch: {name}"
+
+
+def test_udf_matches_reference_impl(spark):
+    rows = [(name, html) for name, html in CASES.items()]
+    df = spark.createDataFrame(rows, "name string, html binary")
+    from web3research_etl_spark.functions.extract import extract_text_udf
+
+    got = {r["name"]: r["t"] for r in df.select("name", extract_text_udf("html").alias("t")).collect()}
+    for name, html in CASES.items():
+        assert got[name] == extract_text_bytes(html), name
+
+
+def test_udf_null_passthrough(spark):
+    from web3research_etl_spark.functions.extract import extract_text_udf
+
+    df = spark.createDataFrame([(None,)], "html binary")
+    assert df.select(extract_text_udf("html").alias("t")).collect()[0]["t"] is None
+
+
+def test_lang_detect(spark):
+    from web3research_etl_spark.functions.extract import detect_lang_udf
+
+    rows = [
+        ("the quick fox and the dog is in that house for now", "en"),
+        ("der hund und die katze ist nicht mit das haus ein", "de"),
+        ("le chat et la maison est une pour les dans", "fr"),
+        ("我是不在和有了的我", "zh"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["l"] for r in df.select(detect_lang_udf("text").alias("l")).collect()]
+    assert got == [lang for _, lang in rows]
+
+
+def test_lang_regexes_compiled():
+    assert set(_LANG_RES) == {"en", "de", "fr", "es", "it", "pt", "nl", "zh"}

@@ -1,0 +1,134 @@
+"""Lake-table sink: atomic snapshots, CoW merge, epoch idempotency,
+time travel, schema evolution by field id."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from web3research_etl_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _table(spark, d, n_buckets=4):
+    return LakeTable.create(
+        spark,
+        os.path.join(d, "t"),
+        SCHEMA,
+        key=["url"],
+        version_order=["warc_ts", "event_seq"],
+        n_buckets=n_buckets,
+    )
+
+
+def _batch(spark, rows):
+    df = spark.createDataFrame(
+        [(op, u, ts, seq, v) for (op, u, ts, seq, v) in rows],
+        "op string, url string, ts_s long, event_seq long, v string",
+    )
+    return df.select(
+        "op",
+        "url",
+        F.timestamp_seconds("ts_s").alias("warc_ts"),
+        "event_seq",
+        "v",
+    )
+
+
+def test_merge_upsert_delete(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(
+        _batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]), epoch_id=1
+    )
+    assert {(r["url"], r["v"]) for r in t.read().collect()} == {("a", "a1"), ("b", "b1")}
+
+    # newer update wins; delete removes; stale update loses to stored row
+    t.merge_changelog(
+        _batch(
+            spark,
+            [
+                ("U", "a", 200, 3, "a2"),
+                ("D", "b", 200, 4, None),
+                ("U", "a", 50, 0, "stale"),
+            ],
+        ),
+        epoch_id=2,
+    )
+    assert {(r["url"], r["v"]) for r in t.read().collect()} == {("a", "a2")}
+
+
+def test_delete_beats_older_update_in_same_batch(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(
+        _batch(spark, [("I", "x", 100, 1, "x1"), ("D", "x", 300, 3, None)]).transform(
+            lambda df: df
+        ),
+        epoch_id=1,
+    )
+    # LWW winner is the delete → key absent
+    assert t.read().filter(F.col("url") == "x").count() == 0
+
+
+def test_epoch_idempotency(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    b = _batch(spark, [("I", "a", 100, 1, "a1")])
+    r1 = t.merge_changelog(b, epoch_id=7)
+    h = t.state_hash()
+    r2 = t.merge_changelog(b, epoch_id=7)  # re-delivery
+    assert r1["skipped"] is False and r2["skipped"] is True
+    assert t.state_hash() == h
+    assert t.current_snapshot()["snapshot_id"] == r1["snapshot_id"]
+
+
+def test_cow_touches_only_dirty_buckets(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir, n_buckets=8)
+    many = _batch(spark, [("I", f"u{i}", 100, i, f"v{i}") for i in range(64)])
+    t.merge_changelog(many, epoch_id=1)
+    before = {fg["bucket"]: tuple(fg["paths"]) for fg in t.current_snapshot()["file_groups"]}
+    r = t.merge_changelog(_batch(spark, [("U", "u1", 200, 999, "v1b")]), epoch_id=2)
+    after = {fg["bucket"]: tuple(fg["paths"]) for fg in t.current_snapshot()["file_groups"]}
+    assert len(r["touched_buckets"]) == 1
+    dirty = r["touched_buckets"][0]
+    for b, paths in before.items():
+        if b != dirty:
+            assert after[b] == paths  # untouched buckets carried over verbatim
+
+
+def test_time_travel(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1)
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.merge_changelog(_batch(spark, [("U", "a", 200, 2, "a2")]), epoch_id=2)
+    assert t.read(s1).collect()[0]["v"] == "a1"
+    assert t.read().collect()[0]["v"] == "a2"
+
+
+def test_schema_evolution_field_ids(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1)
+    # add + rename + widen in one alter; old files must read aligned
+    t.alter(
+        [
+            {"change": "add", "name": "score", "type": "int"},
+            {"change": "rename", "name": "val", "renamed_from": "v"},
+        ]
+    )
+    t.alter([{"change": "widen", "name": "score", "type": "bigint"}])
+    row = t.read().collect()[0]
+    assert row["val"] == "a1" and row["score"] is None
+    assert dict(t.read().dtypes)["score"] == "bigint"
+
+    # new writes under the new schema coexist with old files
+    new = _batch(spark, [("I", "b", 100, 2, None)]).withColumnRenamed("v", "val")
+    new = new.withColumn("score", F.lit(5).cast("bigint"))
+    t.merge_changelog(new, epoch_id=2)
+    got = {(r["url"], r["val"], r["score"]) for r in t.read().collect()}
+    assert got == {("a", "a1", None), ("b", None, 5)}

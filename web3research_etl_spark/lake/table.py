@@ -1,0 +1,487 @@
+"""Snapshot-based bucketed parquet lake table — the engine's sink.
+
+Stands in for an Iceberg table (no lakehouse jars in this image; the
+design is 1:1 with Iceberg's model so a real catalog slots in):
+
+- **atomic commits**: each write produces an immutable snapshot JSON in
+  ``metadata/``; ``metadata/_current.json`` is flipped by atomic rename.
+  (The reference's 5 deletes + 5 inserts per reorg are NOT atomic —
+  /root/reference/src/ch_eth/sync.rs:100-115; here a merge is one commit.)
+- **epoch commit markers** in the snapshot summary give idempotent
+  re-delivery: an already-committed epoch is skipped, upgrading the
+  reference's at-least-once + ReplacingMergeTree convergence
+  (/root/reference/src/ch_eth/init.rs:402-448) to exactly-once state.
+- **bucketed copy-on-write MERGE**: data files are hash-bucketed by key
+  (``pmod(xxhash64(key), n_buckets)``, Iceberg ``bucket(N, url)``); a
+  merge rewrites ONLY the buckets touched by the batch — at 100 TB a
+  batch touching 3% of buckets rewrites 3% of data, not 100%.
+- **field-id schema evolution** (Iceberg-style): columns are identified
+  by immutable field ids; add/rename/widen are metadata-only commits and
+  old data files are aligned at read time — no rewrite.
+- **time travel**: any snapshot id can be read back (replay-convergence
+  verification reads state as-of a checkpoint).
+
+LWW merge semantics mirror ClickHouse ``ReplacingMergeTree ORDER BY key``
+(/root/reference/src/ch_eth/init.rs:169-170): last writer per key wins,
+ordered by the table's version columns; a 'D' winner deletes the key
+(the reference's delete-then-reinsert reorg path, sync.rs:100-115).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_OP_COL = "_op"
+_BUCKET_COL = "_bucket"
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    try:
+        return T.DataType.fromDDL(ddl)  # pyspark >= 3.4
+    except Exception:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(ddl)
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class LakeTable:
+    """One lake table rooted at a directory. Single-writer (driver-side
+    commit protocol), many-reader. All data movement is Spark jobs; the
+    driver only touches metadata JSON (≤ KBs)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: list[str] | None = None,
+        version_order: list[str] | None = None,
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        """CREATE TABLE ... PARTITIONED BY (bucket(n_buckets, key)).
+
+        Mirrors the reference's DDL bootstrap
+        (/root/reference/src/ch_eth/init.rs:139-342) — but the dedup key
+        is commit-protocol state here, not a storage-engine property.
+        """
+        t = cls(spark, path)
+        if os.path.exists(t.meta_dir):
+            if not overwrite:
+                raise FileExistsError(f"table exists: {path}")
+            shutil.rmtree(t.path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        fields = [
+            {
+                "field_id": i + 1,
+                "name": f.name,
+                "type": f.dataType.simpleString(),
+                "nullable": f.nullable,
+            }
+            for i, f in enumerate(schema.fields)
+        ]
+        snap = {
+            "snapshot_id": 0,
+            "parent": None,
+            "operation": "create",
+            "key": key or [],
+            "version_order": version_order or [],
+            "n_buckets": n_buckets,
+            "current_schema_id": 0,
+            "next_field_id": len(fields) + 1,
+            "schemas": {"0": fields},
+            "file_groups": [],
+            "summary": {"committed_epochs": []},
+        }
+        t._commit(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.current_snapshot()  # raises if absent
+        return t
+
+    # ----------------------------------------------------------- snapshots
+    def _snap_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
+
+    def current_snapshot(self) -> dict:
+        with open(os.path.join(self.meta_dir, "_current.json")) as f:
+            version = json.load(f)["version"]
+        return self.snapshot(version)
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        with open(self._snap_path(snapshot_id)) as f:
+            return json.load(f)
+
+    def snapshot_ids(self) -> list[int]:
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _commit(self, snap: dict) -> None:
+        path = self._snap_path(snap["snapshot_id"])
+        if os.path.exists(path):
+            raise RuntimeError(f"snapshot collision: {path}")
+        _atomic_write_json(path, snap)
+        _atomic_write_json(
+            os.path.join(self.meta_dir, "_current.json"),
+            {"version": snap["snapshot_id"]},
+        )
+
+    def committed_epochs(self, snap: dict | None = None) -> set:
+        snap = snap or self.current_snapshot()
+        return set(snap["summary"].get("committed_epochs", []))
+
+    # --------------------------------------------------------------- schema
+    def schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.current_snapshot()
+        fields = snap["schemas"][str(snap["current_schema_id"])]
+        return T.StructType(
+            [
+                T.StructField(f["name"], _parse_type(f["type"]), f["nullable"])
+                for f in fields
+            ]
+        )
+
+    def alter(self, changes: list[dict[str, Any]]) -> int:
+        """Metadata-only schema evolution (Iceberg ALTER TABLE analog).
+
+        changes: [{change: add, name, type}, {change: rename, name,
+        renamed_from}, {change: widen, name, type}]. The reference has no
+        evolution path at all (SURVEY.md §1.4 — hand-edited parallel DDL
+        + struct); here it is one atomic commit, old files untouched.
+        """
+        snap = self.current_snapshot()
+        fields = [dict(f) for f in snap["schemas"][str(snap["current_schema_id"])]]
+        by_name = {f["name"]: f for f in fields}
+        next_id = snap["next_field_id"]
+        for ch in changes:
+            kind = ch["change"]
+            if kind == "add":
+                if ch["name"] in by_name:
+                    continue  # idempotent
+                f = {
+                    "field_id": next_id,
+                    "name": ch["name"],
+                    "type": ch["type"],
+                    "nullable": True,
+                }
+                next_id += 1
+                fields.append(f)
+                by_name[f["name"]] = f
+            elif kind == "rename":
+                src = by_name.get(ch["renamed_from"])
+                if src is None:
+                    if ch["name"] in by_name:
+                        continue  # already renamed — idempotent
+                    raise KeyError(f"rename source missing: {ch['renamed_from']}")
+                src["name"] = ch["name"]
+                by_name.pop(ch["renamed_from"])
+                by_name[ch["name"]] = src
+            elif kind == "widen":
+                by_name[ch["name"]]["type"] = ch["type"]
+            else:
+                raise ValueError(f"unknown change kind: {kind}")
+        new_schema_id = max(int(k) for k in snap["schemas"]) + 1
+        new = dict(snap)
+        new["snapshot_id"] = snap["snapshot_id"] + 1
+        new["parent"] = snap["snapshot_id"]
+        new["operation"] = "alter"
+        new["current_schema_id"] = new_schema_id
+        new["next_field_id"] = next_id
+        new["schemas"] = {**snap["schemas"], str(new_schema_id): fields}
+        new["summary"] = dict(snap["summary"])
+        self._commit(new)
+        return new["snapshot_id"]
+
+    # ---------------------------------------------------------------- read
+    def _bucket_expr(self, snap: dict) -> F.Column:
+        key_concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in snap["key"]])
+        return F.pmod(F.xxhash64(key_concat), F.lit(snap["n_buckets"]))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read table state (optionally time-travel to a snapshot).
+
+        Old-schema file groups are aligned to the current schema by field
+        id: renamed columns re-aliased, widened columns cast, added
+        columns null-filled. Parquet scans keep pushdown/pruning — the
+        alignment is a projection Catalyst collapses into the scan.
+        """
+        snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current_snapshot()
+        cur_fields = snap["schemas"][str(snap["current_schema_id"])]
+        target = self.schema(snap)
+
+        groups: dict[int, list[str]] = {}
+        for fg in snap["file_groups"]:
+            groups.setdefault(fg["schema_id"], []).extend(fg["paths"])
+
+        if not groups:
+            return self.spark.createDataFrame([], target)
+
+        parts: list[DataFrame] = []
+        for schema_id, rel_paths in sorted(groups.items()):
+            old_fields = {f["field_id"]: f for f in snap["schemas"][str(schema_id)]}
+            paths = [os.path.join(self.path, p) for p in rel_paths]
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for f in cur_fields:
+                old = old_fields.get(f["field_id"])
+                if old is None:
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                else:
+                    cols.append(F.col(old["name"]).cast(f["type"]).alias(f["name"]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # --------------------------------------------------------------- write
+    def _write_data_files(
+        self, df: DataFrame, snapshot_id: int, schema: T.StructType
+    ) -> dict[int, list[str]]:
+        """Write df (must carry _bucket) partitioned by bucket; return
+        {bucket: [relative paths]}. One shuffle, one job, all buckets."""
+        out_rel = os.path.join("data", f"s{snapshot_id:08d}")
+        out_abs = os.path.join(self.path, out_rel)
+        ordered = [f.name for f in schema.fields]
+        (
+            df.select(_BUCKET_COL, *ordered)
+            .repartition(F.col(_BUCKET_COL))
+            .sortWithinPartitions(*(self.current_snapshot()["key"] or ordered[:1]))
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_abs)
+        )
+        by_bucket: dict[int, list[str]] = {}
+        for dirpath, _dirnames, filenames in os.walk(out_abs):
+            base = os.path.basename(dirpath)
+            if not base.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = int(base.split("=", 1)[1])
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
+                    by_bucket.setdefault(b, []).append(rel)
+        return by_bucket
+
+    def append(self, df: DataFrame, epoch_id: Any = None, summary_extra: dict | None = None) -> int:
+        """Blind append (no dedup) — the ledger/changelog path."""
+        snap = self.current_snapshot()
+        if epoch_id is not None and epoch_id in self.committed_epochs(snap):
+            return snap["snapshot_id"]
+        new_id = snap["snapshot_id"] + 1
+        staged = df.withColumn(_BUCKET_COL, self._bucket_expr(snap) if snap["key"] else F.lit(0))
+        by_bucket = self._write_data_files(staged, new_id, self.schema(snap))
+        new_groups = list(snap["file_groups"]) + [
+            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
+            for b, ps in sorted(by_bucket.items())
+        ]
+        self._commit_data(snap, new_id, "append", new_groups, epoch_id, summary_extra)
+        return new_id
+
+    def merge_changelog(
+        self,
+        batch: DataFrame,
+        epoch_id: Any = None,
+        salt_partitions: int | None = None,
+        summary_extra: dict | None = None,
+    ) -> dict:
+        """MERGE INTO: apply a deduped changelog batch (op ∈ I/U/D).
+
+        ``batch`` must contain the table's data columns plus an ``op``
+        column; exactly one row per key (run LWW dedup first —
+        operators/lww.py). Copy-on-write over touched buckets only:
+
+        1. bucket each batch row by key hash;
+        2. touched = distinct buckets (tiny driver-side list, ≤ n_buckets);
+        3. union(existing rows of touched buckets, batch rows) → LWW per
+           key via max_by partial aggregation (map-side combine ⇒ hot
+           keys reduce before the shuffle — no window sort needed);
+        4. drop keys whose winner is op='D';
+        5. write touched buckets, carry over untouched file groups,
+           commit one snapshot with the epoch marker.
+
+        ``salt_partitions``: optional extra repartition spread before the
+        write of hot buckets (axis A — hot-domain skew): repartition by
+        (bucket, salt) so a single hot bucket's rows are shuffled by many
+        reducers, then partitionBy(bucket) at write re-collates files.
+        """
+        snap = self.current_snapshot()
+        if epoch_id is not None and epoch_id in self.committed_epochs(snap):
+            return {
+                "skipped": True,
+                "snapshot_id": snap["snapshot_id"],
+                "epoch_id": epoch_id,
+            }
+        schema = self.schema(snap)
+        data_cols = [f.name for f in schema.fields]
+        key = snap["key"]
+        vorder = snap["version_order"]
+        if not key or not vorder:
+            raise ValueError("merge_changelog requires key + version_order")
+
+        # Full-row replace semantics (ReplacingMergeTree: the winning row
+        # replaces the key entirely); table columns absent from the batch
+        # are null-filled.
+        batch_cols = set(batch.columns)
+        selected = [
+            F.col(f.name) if f.name in batch_cols
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        staged = batch.select(F.col("op").alias(_OP_COL), *selected).withColumn(
+            _BUCKET_COL, self._bucket_expr(snap)
+        )
+        touched = sorted(
+            r[_BUCKET_COL] for r in staged.select(_BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return {"skipped": True, "snapshot_id": snap["snapshot_id"], "epoch_id": epoch_id}
+
+        touched_set = set(touched)
+        keep_groups = [fg for fg in snap["file_groups"] if fg["bucket"] not in touched_set]
+        old_groups = [fg for fg in snap["file_groups"] if fg["bucket"] in touched_set]
+
+        existing = self._read_groups(snap, old_groups)
+        existing_staged = (
+            existing.withColumn(_OP_COL, F.lit("U")).withColumn(
+                _BUCKET_COL, self._bucket_expr(snap)
+            )
+            if existing is not None
+            else None
+        )
+        unioned = (
+            staged.unionByName(existing_staged) if existing_staged is not None else staged
+        )
+
+        # LWW via max_by(payload_struct, version_struct): a partial
+        # aggregation — Tungsten combines per map task, so a key with 1M
+        # duplicate events ships ~n_map_tasks pre-reduced rows through the
+        # shuffle instead of 1M (ReplacingMergeTree semantics, skew-proof).
+        payload = F.struct(F.col(_OP_COL), *[F.col(c) for c in data_cols])
+        version = F.struct(*[F.col(c) for c in vorder])
+        winners = (
+            unioned.groupBy(*key)
+            .agg(F.max_by(payload, version).alias("_w"))
+            .select([F.col(f"_w.{c}").alias(c) for c in [_OP_COL] + data_cols])
+            .filter(F.col(_OP_COL) != F.lit("D"))
+            .drop(_OP_COL)
+            .withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        )
+        if salt_partitions:
+            winners = winners.repartition(
+                salt_partitions,
+                F.col(_BUCKET_COL),
+                F.pmod(F.xxhash64(*key), F.lit(salt_partitions)),
+            )
+
+        new_id = snap["snapshot_id"] + 1
+        by_bucket = self._write_data_files(winners, new_id, schema)
+        new_groups = keep_groups + [
+            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
+            for b, ps in sorted(by_bucket.items())
+        ]
+        self._commit_data(snap, new_id, "merge", new_groups, epoch_id, summary_extra)
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "epoch_id": epoch_id,
+            "touched_buckets": touched,
+        }
+
+    def _read_groups(self, snap: dict, groups: list[dict]) -> DataFrame | None:
+        if not groups:
+            return None
+        cur_fields = snap["schemas"][str(snap["current_schema_id"])]
+        by_schema: dict[int, list[str]] = {}
+        for fg in groups:
+            by_schema.setdefault(fg["schema_id"], []).extend(fg["paths"])
+        parts = []
+        for schema_id, rel_paths in sorted(by_schema.items()):
+            old_fields = {f["field_id"]: f for f in snap["schemas"][str(schema_id)]}
+            df = self.spark.read.parquet(*[os.path.join(self.path, p) for p in rel_paths])
+            cols = []
+            for f in cur_fields:
+                old = old_fields.get(f["field_id"])
+                cols.append(
+                    F.lit(None).cast(f["type"]).alias(f["name"])
+                    if old is None
+                    else F.col(old["name"]).cast(f["type"]).alias(f["name"])
+                )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _commit_data(
+        self,
+        snap: dict,
+        new_id: int,
+        operation: str,
+        file_groups: list[dict],
+        epoch_id: Any,
+        summary_extra: dict | None,
+    ) -> None:
+        summary = dict(snap["summary"])
+        epochs = list(summary.get("committed_epochs", []))
+        if epoch_id is not None:
+            epochs.append(epoch_id)
+        summary["committed_epochs"] = epochs
+        if summary_extra:
+            summary.update(summary_extra)
+        new = dict(snap)
+        new["snapshot_id"] = new_id
+        new["parent"] = snap["snapshot_id"]
+        new["operation"] = operation
+        new["file_groups"] = file_groups
+        new["summary"] = summary
+        self._commit(new)
+
+    # ------------------------------------------------------------- utility
+    def state_hash(self, snapshot_id: int | None = None) -> str:
+        """Order-insensitive content hash of table state — the replay-
+        convergence check (reference property: replaying any range
+        converges, SURVEY.md §5 item 2)."""
+        df = self.read(snapshot_id)
+        cols = sorted(df.columns)
+        row_hash = F.sha2(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256
+        )
+        agg = df.select(row_hash.alias("h")).agg(
+            F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        r = agg.collect()[0]
+        return f"{r['n']}:{r['s']}"
