@@ -132,3 +132,18 @@ def test_schema_evolution_field_ids(spark, tmp_table_dir):
     t.merge_changelog(new, epoch_id=2)
     got = {(r["url"], r["val"], r["score"]) for r in t.read().collect()}
     assert got == {("a", "a1", None), ("b", None, 5)}
+
+
+def test_tombstone_blocks_resurrection_and_vacuum(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1)
+    t.merge_changelog(_batch(spark, [("D", "a", 300, 3, None)]), epoch_id=2)
+    # stale out-of-order update in a LATER batch must NOT resurrect 'a'
+    t.merge_changelog(_batch(spark, [("U", "a", 200, 2, "stale")]), epoch_id=3)
+    assert t.read().filter(F.col("url") == "a").count() == 0
+    assert t.read(include_deleted=True).filter(F.col("url") == "a").count() == 1
+
+    # vacuum past the out-of-order window drops the tombstone physically
+    t.vacuum_tombstones("2100-01-01")
+    assert t.read(include_deleted=True).filter(F.col("url") == "a").count() == 0
+    # ...after which an even-staler update CAN land (documented tradeoff)

@@ -1,0 +1,158 @@
+"""spark-submit entrypoint — the reference's CLI surface re-expressed.
+
+Reference (/root/reference/src/main.rs:16-118): `init` (bounded
+backfill), `sync` (unbounded tail), `check` (reconcile + heal). Ours:
+
+    spark-submit --py-files web3research_etl_spark.zip -m ... cli.py \
+        init  --source DIR --table DIR [--ledger DIR] [--batch-files N]
+        sync  --source DIR --table DIR --checkpoint DIR [--ledger DIR]
+        check --source DIR --table DIR [--heal]
+        gen   --out DIR --events N          (synthetic changelog fixture)
+
+Also runnable locally: python -m web3research_etl_spark.cli ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _common(sub: argparse.ArgumentParser) -> None:
+    sub.add_argument("--table", required=True, help="lake table root dir")
+    sub.add_argument("--source", required=True, help="changelog parquet dir")
+    sub.add_argument("--ledger", default=None, help="lineage ledger dir")
+    sub.add_argument("--salt-partitions", type=int, default=None)
+    sub.add_argument("--no-registry", action="store_true")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="web3research_etl_spark")
+    subs = p.add_subparsers(dest="cmd", required=True)
+
+    init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
+    _common(init)
+    init.add_argument("--batch-files", type=int, default=None, help="maxFilesPerTrigger")
+    init.add_argument("--checkpoint", default=None)
+
+    sync = subs.add_parser("sync", help="unbounded streaming tail")
+    _common(sync)
+    sync.add_argument("--checkpoint", required=True)
+    sync.add_argument("--trigger", default="5 seconds")
+    sync.add_argument("--batch-files", type=int, default=None)
+
+    check = subs.add_parser("check", help="reconcile stored state vs changelog; optionally heal")
+    _common(check)
+    check.add_argument("--heal", action="store_true")
+    check.add_argument("--epoch", type=int, default=None, help="heal epoch id")
+
+    gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--events", type=int, required=True)
+    gen.add_argument("--files", type=int, default=8)
+    gen.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def _open_table(spark, path: str):
+    import os
+
+    from web3research_etl_spark.lake.table import LakeTable
+    from web3research_etl_spark.schemas import PAGES_KEY, PAGES_SCHEMA, PAGES_VERSION_ORDER
+
+    if os.path.exists(os.path.join(path, "metadata")):
+        return LakeTable.load(spark, path)
+    return LakeTable.create(
+        spark, path, PAGES_SCHEMA, key=PAGES_KEY, version_order=PAGES_VERSION_ORDER
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from web3research_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"w3r-etl-{args.cmd}")
+
+    if args.cmd == "gen":
+        from web3research_etl_spark.changelog import write_changelog_dir
+
+        df = write_changelog_dir(
+            spark, args.out, args.events, files_per_batch=args.files, seed=args.seed
+        )
+        print(json.dumps({"written": df.count(), "path": args.out}))
+        return 0
+
+    from web3research_etl_spark.ledger import open_ledger
+    from web3research_etl_spark.registry import default_registry
+
+    table = _open_table(spark, args.table)
+    ledger = open_ledger(spark, args.ledger) if args.ledger else None
+    registry = None if args.no_registry else default_registry(spark)
+
+    if args.cmd in ("init", "sync"):
+        import tempfile
+
+        from web3research_etl_spark.streaming.pipeline import run_sync
+
+        checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="w3r_ckpt_")
+        q = run_sync(
+            spark,
+            args.source,
+            table,
+            checkpoint,
+            ledger=ledger,
+            registry=registry,
+            salt_partitions=args.salt_partitions,
+            available_now=(args.cmd == "init"),
+            max_files_per_trigger=args.batch_files,
+            processing_time=getattr(args, "trigger", "5 seconds"),
+        )
+        if args.cmd == "init":
+            q.awaitTermination()
+            print(
+                json.dumps(
+                    {
+                        "rows": table.read().count(),
+                        "snapshot": table.current_snapshot()["snapshot_id"],
+                        "epochs": sorted(table.committed_epochs()),
+                    }
+                )
+            )
+        else:
+            q.awaitTermination()
+        return 0
+
+    if args.cmd == "check":
+        from web3research_etl_spark.operators.reconcile import (
+            expected_state,
+            heal,
+            reconcile,
+        )
+
+        changelog = spark.read.parquet(args.source)
+        report = reconcile(table.read(), expected_state(changelog))
+        counts = {
+            r["status"]: r["n"]
+            for r in report.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"reconcile": counts}))
+        if args.heal and any(k != "ok" for k in counts):
+            epoch = args.epoch if args.epoch is not None else f"heal-{table.current_snapshot()['snapshot_id']}"
+            res = heal(table, changelog, epoch_id=epoch)
+            after = reconcile(table.read(), expected_state(changelog))
+            after_counts = {
+                r["status"]: r["n"]
+                for r in after.groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            print(json.dumps({"healed": not res.get("skipped", False), "after": after_counts}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

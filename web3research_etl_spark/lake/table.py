@@ -41,6 +41,13 @@ from pyspark.sql import types as T
 
 _OP_COL = "_op"
 _BUCKET_COL = "_bucket"
+# Tombstone marker: a delete that wins LWW is PERSISTED (payload nulled,
+# version kept) so an out-of-order older update arriving in a later
+# micro-batch cannot resurrect the key. Reads filter tombstones out;
+# `vacuum_tombstones` garbage-collects them once the out-of-order window
+# has passed. (The reference has no tombstones — a reorg delete followed
+# by a replayed stale insert WOULD resurrect; found by our streaming test.)
+_DELETED_COL = "_deleted"
 
 
 def _parse_type(ddl: str) -> T.DataType:
@@ -229,41 +236,26 @@ class LakeTable:
         key_concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in snap["key"]])
         return F.pmod(F.xxhash64(key_concat), F.lit(snap["n_buckets"]))
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self, snapshot_id: int | None = None, include_deleted: bool = False
+    ) -> DataFrame:
         """Read table state (optionally time-travel to a snapshot).
 
         Old-schema file groups are aligned to the current schema by field
         id: renamed columns re-aliased, widened columns cast, added
         columns null-filled. Parquet scans keep pushdown/pruning — the
         alignment is a projection Catalyst collapses into the scan.
+        Tombstone rows are filtered out unless ``include_deleted``.
         """
         snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current_snapshot()
-        cur_fields = snap["schemas"][str(snap["current_schema_id"])]
-        target = self.schema(snap)
-
-        groups: dict[int, list[str]] = {}
-        for fg in snap["file_groups"]:
-            groups.setdefault(fg["schema_id"], []).extend(fg["paths"])
-
-        if not groups:
+        out = self._read_groups(snap, snap["file_groups"], include_deleted=include_deleted)
+        if out is None:
+            target = self.schema(snap)
+            if include_deleted:
+                target = T.StructType(
+                    target.fields + [T.StructField(_DELETED_COL, T.BooleanType(), False)]
+                )
             return self.spark.createDataFrame([], target)
-
-        parts: list[DataFrame] = []
-        for schema_id, rel_paths in sorted(groups.items()):
-            old_fields = {f["field_id"]: f for f in snap["schemas"][str(schema_id)]}
-            paths = [os.path.join(self.path, p) for p in rel_paths]
-            df = self.spark.read.parquet(*paths)
-            cols = []
-            for f in cur_fields:
-                old = old_fields.get(f["field_id"])
-                if old is None:
-                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-                else:
-                    cols.append(F.col(old["name"]).cast(f["type"]).alias(f["name"]))
-            parts.append(df.select(*cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         return out
 
     # --------------------------------------------------------------- write
@@ -274,7 +266,9 @@ class LakeTable:
         {bucket: [relative paths]}. One shuffle, one job, all buckets."""
         out_rel = os.path.join("data", f"s{snapshot_id:08d}")
         out_abs = os.path.join(self.path, out_rel)
-        ordered = [f.name for f in schema.fields]
+        ordered = [f.name for f in schema.fields] + [_DELETED_COL]
+        if _DELETED_COL not in df.columns:
+            df = df.withColumn(_DELETED_COL, F.lit(False))
         (
             df.select(_BUCKET_COL, *ordered)
             .repartition(F.col(_BUCKET_COL))
@@ -316,6 +310,7 @@ class LakeTable:
         epoch_id: Any = None,
         salt_partitions: int | None = None,
         summary_extra: dict | None = None,
+        force_replace: bool = False,
     ) -> dict:
         """MERGE INTO: apply a deduped changelog batch (op ∈ I/U/D).
 
@@ -331,6 +326,12 @@ class LakeTable:
         4. drop keys whose winner is op='D';
         5. write touched buckets, carry over untouched file groups,
            commit one snapshot with the epoch marker.
+
+        ``force_replace=True`` makes the batch authoritative for its keys
+        regardless of stored versions — existing rows for batched keys
+        are discarded before the union (the reference's delete-then-
+        reinsert reorg/heal path, src/ch_eth/sync.rs:100-115, here one
+        atomic commit). Normal CDC apply keeps LWW.
 
         ``salt_partitions``: optional extra repartition spread before the
         write of hot buckets (axis A — hot-domain skew): repartition by
@@ -373,11 +374,18 @@ class LakeTable:
         keep_groups = [fg for fg in snap["file_groups"] if fg["bucket"] not in touched_set]
         old_groups = [fg for fg in snap["file_groups"] if fg["bucket"] in touched_set]
 
-        existing = self._read_groups(snap, old_groups)
+        existing = self._read_groups(snap, old_groups, include_deleted=True)
+        if existing is not None and force_replace:
+            # batch is authoritative for its keys: drop stored rows for
+            # them (broadcast anti-join — batch keys are the small side)
+            batch_keys = staged.select(*key).distinct()
+            existing = existing.join(F.broadcast(batch_keys), key, "left_anti")
         existing_staged = (
-            existing.withColumn(_OP_COL, F.lit("U")).withColumn(
-                _BUCKET_COL, self._bucket_expr(snap)
+            existing.withColumn(
+                _OP_COL, F.when(F.col(_DELETED_COL), F.lit("D")).otherwise(F.lit("U"))
             )
+            .drop(_DELETED_COL)
+            .withColumn(_BUCKET_COL, self._bucket_expr(snap))
             if existing is not None
             else None
         )
@@ -391,12 +399,22 @@ class LakeTable:
         # shuffle instead of 1M (ReplacingMergeTree semantics, skew-proof).
         payload = F.struct(F.col(_OP_COL), *[F.col(c) for c in data_cols])
         version = F.struct(*[F.col(c) for c in vorder])
+        non_version_cols = [c for c in data_cols if c not in set(key) | set(vorder)]
         winners = (
             unioned.groupBy(*key)
             .agg(F.max_by(payload, version).alias("_w"))
             .select([F.col(f"_w.{c}").alias(c) for c in [_OP_COL] + data_cols])
-            .filter(F.col(_OP_COL) != F.lit("D"))
-            .drop(_OP_COL)
+            # delete winners become tombstones: payload nulled, version kept
+            .withColumn(_DELETED_COL, F.col(_OP_COL) == F.lit("D"))
+            .select(
+                *key,
+                *vorder,
+                *[
+                    F.when(~F.col(_DELETED_COL), F.col(c)).alias(c)
+                    for c in non_version_cols
+                ],
+                _DELETED_COL,
+            )
             .withColumn(_BUCKET_COL, self._bucket_expr(snap))
         )
         if salt_partitions:
@@ -420,7 +438,9 @@ class LakeTable:
             "touched_buckets": touched,
         }
 
-    def _read_groups(self, snap: dict, groups: list[dict]) -> DataFrame | None:
+    def _read_groups(
+        self, snap: dict, groups: list[dict], include_deleted: bool = False
+    ) -> DataFrame | None:
         if not groups:
             return None
         cur_fields = snap["schemas"][str(snap["current_schema_id"])]
@@ -431,6 +451,7 @@ class LakeTable:
         for schema_id, rel_paths in sorted(by_schema.items()):
             old_fields = {f["field_id"]: f for f in snap["schemas"][str(schema_id)]}
             df = self.spark.read.parquet(*[os.path.join(self.path, p) for p in rel_paths])
+            has_tomb = _DELETED_COL in df.columns
             cols = []
             for f in cur_fields:
                 old = old_fields.get(f["field_id"])
@@ -439,7 +460,14 @@ class LakeTable:
                     if old is None
                     else F.col(old["name"]).cast(f["type"]).alias(f["name"])
                 )
-            parts.append(df.select(*cols))
+            tomb = (
+                F.col(_DELETED_COL) if has_tomb else F.lit(False)
+            ).alias(_DELETED_COL)
+            part = df.select(*cols, tomb)
+            if not include_deleted:
+                # pushed down to the parquet scan by Catalyst
+                part = part.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -470,6 +498,32 @@ class LakeTable:
         self._commit(new)
 
     # ------------------------------------------------------------- utility
+    def vacuum_tombstones(self, older_than_ts: str) -> dict:
+        """Maintenance compaction (the reference's sidecar
+        `OPTIMIZE TABLE FINAL DEDUPLICATE`, scripts/optimize_db.py:27;
+        Iceberg's rewrite_data_files): rewrite the table dropping
+        tombstones whose version timestamp precedes ``older_than_ts`` —
+        safe once the source's out-of-order window has passed that point.
+        """
+        snap = self.current_snapshot()
+        vorder = snap["version_order"]
+        if not vorder:
+            raise ValueError("vacuum requires version_order")
+        all_rows = self._read_groups(snap, snap["file_groups"], include_deleted=True)
+        if all_rows is None:
+            return {"skipped": True}
+        kept = all_rows.filter(
+            ~(F.col(_DELETED_COL) & (F.col(vorder[0]) < F.lit(older_than_ts)))
+        ).withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        new_id = snap["snapshot_id"] + 1
+        by_bucket = self._write_data_files(kept, new_id, self.schema(snap))
+        groups = [
+            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
+            for b, ps in sorted(by_bucket.items())
+        ]
+        self._commit_data(snap, new_id, "vacuum", groups, None, None)
+        return {"skipped": False, "snapshot_id": new_id}
+
     def state_hash(self, snapshot_id: int | None = None) -> str:
         """Order-insensitive content hash of table state — the replay-
         convergence check (reference property: replaying any range

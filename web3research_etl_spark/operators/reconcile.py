@@ -1,0 +1,106 @@
+"""Reconcile-and-heal: set-based verification of stored state against
+the source of truth.
+
+The reference walks the last 100 000 blocks ONE KEY AT A TIME with four
+point queries each (health_check, /root/reference/src/ch_eth/sync.rs:157-327,
+interval window :348-352). That is O(window) round-trips; here it is ONE
+distributed plan: recompute the expected converged state from the
+changelog (or any source range), full-outer-join it to the stored table
+on the key, and classify each key as ok / missing / divergent / orphan.
+Healing applies the diff back through the same exactly-once merge path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web3research_etl_spark.lake.table import LakeTable
+from web3research_etl_spark.operators.lww import lww_dedup_agg
+
+
+def expected_state(changelog: DataFrame) -> DataFrame:
+    """Converged state implied by a changelog slice: LWW winner per key,
+    deletes removed (the DuckDB-oracle semantics, SURVEY.md §5)."""
+    win = lww_dedup_agg(
+        changelog.select("op", "url", "warc_ts", "event_seq", "html", "lang"),
+        key=["url"],
+        version_order=["warc_ts", "event_seq"],
+    )
+    return win.filter(F.col("op") != "D").drop("op")
+
+
+def reconcile(stored: DataFrame, expected: DataFrame, key: str = "url") -> DataFrame:
+    """Full-outer compare on key + version columns.
+
+    status ∈ {'ok', 'missing' (expected but not stored — reference
+    sync.rs:170-174 insert path), 'divergent' (stored version ≠ expected
+    — reference hash-mismatch delete+reinsert, sync.rs:181-201),
+    'orphan' (stored but not expected — deleted upstream)}.
+    """
+    s = stored.select(
+        F.col(key), F.col("warc_ts").alias("stored_ts"), F.col("event_seq").alias("stored_seq")
+    )
+    e = expected.select(
+        F.col(key), F.col("warc_ts").alias("expected_ts"), F.col("event_seq").alias("expected_seq")
+    )
+    joined = s.join(e, key, "full_outer")
+    return joined.select(
+        key,
+        "stored_seq",
+        "expected_seq",
+        F.when(F.col("expected_seq").isNull(), F.lit("orphan"))
+        .when(F.col("stored_seq").isNull(), F.lit("missing"))
+        .when(
+            (F.col("stored_seq") != F.col("expected_seq"))
+            | (F.col("stored_ts") != F.col("expected_ts")),
+            F.lit("divergent"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
+def heal(
+    table: LakeTable,
+    changelog: DataFrame,
+    epoch_id,
+    report: DataFrame | None = None,
+) -> dict:
+    """Repair stored state to match the changelog-implied state.
+
+    One merge containing, for every non-ok key: the expected winner row
+    (upsert) or a delete for orphans. Uses the same exactly-once merge,
+    so healing is itself idempotent and atomic (unlike the reference's
+    non-atomic 5×delete + 5×insert, sync.rs:100-115).
+    """
+    exp = expected_state(changelog)
+    rep = report if report is not None else reconcile(table.read(), exp)
+    bad = rep.filter(F.col("status") != "ok")
+    fix_upserts = exp.join(
+        bad.filter(F.col("status") != "orphan").select("url"), "url", "left_semi"
+    ).withColumn("op", F.lit("U"))
+    # orphans: synthesize a delete newer than anything stored for the key
+    orphans = (
+        table.read()
+        .join(bad.filter(F.col("status") == "orphan").select("url"), "url", "left_semi")
+        .select(
+            F.lit("D").alias("op"),
+            "url",
+            F.col("warc_ts"),
+            (F.col("event_seq") + F.lit(1)).alias("event_seq"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    fixes = fix_upserts.select("op", "url", "warc_ts", "event_seq", "html", "lang").unionByName(
+        orphans
+    )
+    from web3research_etl_spark.functions.extract import extract_text_udf
+
+    fixes = fixes.withColumn(
+        "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+    )
+    # force_replace: the changelog is the source of truth even when the
+    # stored version is numerically newer (reorg semantics)
+    return table.merge_changelog(fixes, epoch_id=epoch_id, force_replace=True)

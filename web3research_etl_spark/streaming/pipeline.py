@@ -1,0 +1,81 @@
+"""Structured Streaming tail: changelog directory → lake table.
+
+Spark re-expression of the reference's `sync` subcommand
+(/root/reference/src/main.rs:55-75 → src/ch_eth/sync.rs): the WS
+block-head subscription becomes a file-stream source (push→pull is
+inherent to micro-batching), the per-block handler becomes
+``foreachBatch`` calling the same batch-apply used by backfill, and
+exactly-once comes from BOTH the streaming checkpoint (source offsets)
+AND the sink's epoch commit markers — either alone survives a crash;
+together they survive checkpoint loss + batch re-delivery.
+
+``Trigger.AvailableNow`` bounds the stream for backfill-style runs (the
+reference's `init` loop, src/ch_eth/init.rs:360) while unbounded
+processing-time triggers tail forever (`sync`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from web3research_etl_spark.lake.table import LakeTable
+from web3research_etl_spark.operators.apply import apply_changelog_batch
+from web3research_etl_spark.schemas import CHANGELOG_SCHEMA
+
+
+def stream_changelog(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a changelog parquet directory (the file-stream
+    stand-in for a Kafka/binlog source; swapping in Kafka is a
+    format+options change, the pipeline below is source-agnostic)."""
+    reader = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def run_sync(
+    spark: SparkSession,
+    source_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    ledger: LakeTable | None = None,
+    registry: DataFrame | None = None,
+    salt_partitions: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    processing_time: str = "5 seconds",
+):
+    """Start the streaming apply. With ``available_now`` the query drains
+    everything present and stops (bounded backfill); otherwise it tails.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    stream = stream_changelog(spark, source_dir, max_files_per_trigger)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_changelog_batch(
+            table,
+            batch_df,
+            epoch_id=epoch_id,
+            ledger=ledger,
+            registry=registry,
+            salt_partitions=salt_partitions,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
