@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline addition) expressed over the driver-provided
+testdata tables, with a DuckDB-equivalent in ``oracle_sql()``.
+Implementations live in web3research_etl_spark/; this module wires them
+to the (spark, sf_dir) harness.
+
+Parity conventions (so the order-insensitive value-hash matches):
+- every computed column aliased identically on both sides;
+- timestamps surfaced as floor-epoch bigints;
+- double aggregates rounded; hashes via the md5-int60 trick
+  (conv(substr(md5(x),1,15),16,10) — bit-identical in both engines).
 """
 
 from __future__ import annotations
@@ -12,27 +18,745 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The CDC family treats `events` as a changelog (reference: block stream →
+# table rows; here: event stream → per-url page state). Same derivation on
+# both engines:
+_CHANGELOG_SQL = """
+    SELECT 'https://site-' || CAST(user_id % 20 AS VARCHAR)
+               || '/p' || CAST(event_id % 211 AS VARCHAR) AS url,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type IN ('click', 'view') THEN 'U'
+                ELSE 'I' END AS op,
+           ts, event_id, event_type, value, user_id
+    FROM events
+"""
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit("/p"),
+            (F.col("event_id") % 211).cast("string"),
+        ).alias("url"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        "user_id",
+    )
+
+
+_LWW_ORACLE_CORE = f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    ranked AS (
+      SELECT url, op, event_id, event_type, value,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM changelog
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC / ingest operators (SURVEY §2.2-2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_converged(spark, sf_dir):
+    """LWW converged state via window row_number (SURVEY A3; north-star
+    wording). ReplacingMergeTree keep-last semantics."""
+    ch = _events_changelog(spark, sf_dir)
+    w = W.partitionBy("url").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "url",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+def q_cdc_lww_agg(spark, sf_dir):
+    """Same converged state via max_by partial aggregation — the scale
+    path (map-side combine, hot keys pre-reduced before the shuffle)."""
+    ch = _events_changelog(spark, sf_dir)
+    payload = F.struct("op", "event_id", "event_type", "value")
+    version = F.struct("ts", "event_id")
+    return (
+        ch.groupBy("url")
+        .agg(F.max_by(payload, version).alias("w"))
+        .filter(F.col("w.op") != "D")
+        .select(
+            "url",
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.event_type").alias("last_event_type"),
+            F.round(F.col("w.value"), 2).alias("last_value"),
+        )
+    )
+
+
+def q_cdc_tombstones(spark, sf_dir):
+    """Keys whose LWW winner is a delete — the tombstone set."""
+    ch = _events_changelog(spark, sf_dir)
+    w = W.partitionBy("url").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "D"))
+        .select("url", F.col("event_id").alias("delete_event_id"))
+    )
+
+
+def q_cdc_reconcile_status(spark, sf_dir):
+    """Reconciliation report (reference health_check set-based —
+    SURVEY J3): stored = converged state of a 70% prefix of the
+    changelog, expected = converged state of all of it."""
+    ch = _events_changelog(spark, sf_dir)
+
+    def conv(df):
+        w = W.partitionBy("url").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("url", "event_id")
+        )
+
+    stored = conv(ch.filter(F.col("event_id") % 10 < 7))
+    expected = conv(ch)
+    j = stored.select("url", F.col("event_id").alias("stored_id")).join(
+        expected.select("url", F.col("event_id").alias("expected_id")),
+        "url",
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("expected_id").isNull(), F.lit("orphan"))
+        .when(F.col("stored_id").isNull(), F.lit("missing"))
+        .when(F.col("stored_id") != F.col("expected_id"), F.lit("divergent"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_cdc_resume_offsets(spark, sf_dir):
+    """Per-source-partition resume point (SURVEY A1: max(number) probe,
+    generalized per partition — the lineage-ledger read path)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("source_partition", (F.col("event_id") % 8).cast("int"))
+        .groupBy("source_partition")
+        .agg(
+            F.max("event_id").alias("max_offset"),
+            F.count("*").alias("rows_seen"),
+        )
+    )
+
+
+def q_cdc_presence_probe(spark, sf_dir):
+    """Emptiness probe (SURVEY A2) set-based: one pass, per-entity
+    counts by type instead of N point queries."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def q_cdc_point_lookup(spark, sf_dir):
+    """Point lookup by key (SURVEY S9) + hex digest (SURVEY F1)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 997 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.md5(F.col("event_type")).alias("type_hex"),
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON payload parse (SURVEY F3 / registry payload path): extract
+    props.k, aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: new session when gap > 1800 s (stateful-stream
+    analog expressed as window lag + running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the fixtures; session tz is pinned UTC so
+    # ntz→timestamp→long matches DuckDB's naive epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("ns", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one): for each purchase, the
+    most recent prior view by the same user — conditional running max
+    window, no applyInPandas needed."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("asof_ts", prior_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("asof_ts").cast("timestamp").cast("double"))
+            .cast("bigint")
+            .alias("asof_view_epoch"),
+        )
+    )
+
+
+def q_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (top-k per group window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch / relational operators (SURVEY §2.3-2.6 Spark expressions)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-way join + agg; dimension tables broadcast (reference has
+    no real joins — SURVEY §2.3; this is the Spark-native expression)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_rollup_sales(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_parts_by_brand_broadcast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("p_size") >= 20)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_counts(spark, sf_dir):
+    from web3research_etl_spark.operators.text import doc_token_counts
+
+    return doc_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from web3research_etl_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from web3research_etl_spark.operators.text import lang_id_sql
+
+    return lang_id_sql(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from web3research_etl_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from web3research_etl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from web3research_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=12, threshold=0.2, max_bucket_size=100
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from web3research_etl_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), k=12, num_hashes=8)
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    from web3research_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), k=12, num_hashes=8, bands=4
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from web3research_etl_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16, k=12)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from web3research_etl_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    from web3research_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, list(qv), k=10)
+
+
+def q_media_metadata(spark, sf_dir):
+    from web3research_etl_spark.operators.multimodal import attach_media
+
+    return attach_media(_t(spark, sf_dir, "documents")).drop("media")
+
+
+def q_frame_sample(spark, sf_dir):
+    from web3research_etl_spark.operators.multimodal import attach_media, frame_sample_plan
+
+    return frame_sample_plan(attach_media(_t(spark, sf_dir, "documents")), every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW-converged CDC state on sf0.001."""
+    return q_cdc_lww_converged(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_converged": q_cdc_lww_converged,
+        "cdc_lww_agg": q_cdc_lww_agg,
+        "cdc_tombstones": q_cdc_tombstones,
+        "cdc_reconcile_status": q_cdc_reconcile_status,
+        "cdc_resume_offsets": q_cdc_resume_offsets,
+        "cdc_presence_probe": q_cdc_presence_probe,
+        "cdc_point_lookup": q_cdc_point_lookup,
+        "events_json_extract": q_events_json_extract,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
+        "topk_per_user": q_topk_per_user,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "rollup_sales": q_rollup_sales,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_by_brand_broadcast": q_parts_by_brand_broadcast,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_brute_topk": q_ann_brute_topk,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments
+_SHINGLES_CTE = r"""
+    docs_s AS (
+      SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(length(s) - 11, 1) + 1),
+               i -> substring(s, CAST(i AS INT), 12)))) AS shingle
+      FROM docs_s
+    )
+"""
+
+_H60 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH {_SHINGLES_CTE},
+        hashed AS (SELECT doc_id, {_H60.format(x='shingle')} AS h FROM sh),
+        v AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
     """
-    return {}
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    parts = []
+    for i in range(num_hashes):
+        h = _H60.format(x="shingle || '#%d'" % i)
+        parts.append(f"min({h}) AS mh{i}")
+    mins = ", ".join(parts)
+    return f"""
+        WITH {_SHINGLES_CTE}
+        SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    """
+
+
+_COSINE = """
+    list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
+"""
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = _COSINE.format(a=a, b=b)
+    na = _COSINE.format(a=a, b=a)
+    nb = _COSINE.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lww = _LWW_ORACLE_CORE
+    return {
+        "cdc_lww_converged": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, event_type AS last_event_type,
+                   round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_lww_agg": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, event_type AS last_event_type,
+                   round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_tombstones": f"""
+            {lww}
+            SELECT url, event_id AS delete_event_id
+            FROM ranked WHERE rn = 1 AND op = 'D'
+        """,
+        "cdc_reconcile_status": f"""
+            WITH changelog AS ({_CHANGELOG_SQL}),
+            conv_all AS (
+              SELECT url, event_id FROM (
+                SELECT url, op, event_id,
+                       row_number() OVER (PARTITION BY url ORDER BY ts DESC, event_id DESC) rn
+                FROM changelog) WHERE rn = 1 AND op <> 'D'
+            ),
+            conv_stored AS (
+              SELECT url, event_id FROM (
+                SELECT url, op, event_id,
+                       row_number() OVER (PARTITION BY url ORDER BY ts DESC, event_id DESC) rn
+                FROM changelog WHERE event_id % 10 < 7) WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT status, count(*) AS n FROM (
+              SELECT CASE WHEN e.url IS NULL THEN 'orphan'
+                          WHEN s.url IS NULL THEN 'missing'
+                          WHEN s.event_id <> e.event_id THEN 'divergent'
+                          ELSE 'ok' END AS status
+              FROM conv_stored s FULL OUTER JOIN conv_all e ON s.url = e.url
+            ) GROUP BY status
+        """,
+        "cdc_resume_offsets": """
+            SELECT CAST(event_id % 8 AS INT) AS source_partition,
+                   max(event_id) AS max_offset, count(*) AS rows_seen
+            FROM events GROUP BY 1
+        """,
+        "cdc_presence_probe": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "cdc_point_lookup": """
+            SELECT event_id, user_id, event_type, md5(event_type) AS type_hex
+            FROM events WHERE event_id % 997 = 0
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS ns
+              FROM events)
+            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "events_asof_join": """
+            WITH x AS (
+              SELECT event_id, user_id, event_type,
+                     max(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+              FROM events)
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(asof_ts)) AS BIGINT) AS asof_view_epoch
+            FROM x WHERE event_type = 'purchase'
+        """,
+        "topk_per_user": """
+            SELECT user_id, rk, event_id, round(value, 2) AS value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rk
+              FROM events) WHERE rk <= 3
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rollup_sales": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "parts_by_brand_broadcast": """
+            SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size >= 20 GROUP BY p_brand
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   round(len(regexp_extract_all(text, '[.,;:!?]'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text, '[0-9]'))
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(length(text)
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS mean_token_len,
+                   CAST(len(regexp_extract_all(text, '\S+')) >= 5
+                        AND len(regexp_extract_all(text, '[.,;:!?]'))
+                            / greatest(length(text), 1) < 0.2
+                        AND len(regexp_extract_all(text, '[0-9]'))
+                            / greatest(length(text), 1) < 0.3 AS INT) AS passes_quality
+            FROM documents
+        """,
+        "doc_lang_id": r"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for)\b')) AS c_en,
+                     len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS c_de,
+                     len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|pour|dans)\b')) AS c_fr,
+                     len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|por|para|con)\b')) AS c_es,
+                     len(regexp_extract_all(text, '(的|是|了|在|和|不|有|我)')) AS c_zh
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN c_en >= greatest(c_de, c_fr, c_es, c_zh, 1) THEN 'en'
+                     WHEN c_de >= greatest(c_fr, c_es, c_zh, 1) THEN 'de'
+                     WHEN c_fr >= greatest(c_es, c_zh, 1) THEN 'fr'
+                     WHEN c_es >= greatest(c_zh, 1) THEN 'es'
+                     WHEN c_zh >= 1 THEN 'zh'
+                     ELSE 'und' END AS lang_pred
+            FROM c
+        """,
+        "doc_fingerprint": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT d.doc_id, md5(d.text) AS md5_fp, m.shingle_fp
+            FROM documents d JOIN (
+              SELECT doc_id, min({_H60.format(x='shingle')}) AS shingle_fp
+              FROM sh GROUP BY doc_id) m ON d.doc_id = m.doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh2 a JOIN sh2 b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2
+        """,
+        "minhash_signatures": _minhash_oracle(8),
+        "simhash": _simhash_oracle(16),
+        "embedding_near_dups": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos_expr('a.embedding', 'b.embedding')}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cos_expr('a.embedding', 'b.embedding')} >= 0.2
+        """,
+        "ann_brute_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round({_cos_expr('embeddings.embedding', 'q.qe')}, 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "media_metadata": """
+            SELECT doc_id, 'image/fake' AS media_type,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id, CAST(unnest(range(0, (octet_length(encode(text)) % 100) + 1, 10)) AS INT) AS frame_no
+            FROM documents
+        """,
+        # minhash_lsh_candidates intentionally omitted: candidate sets are
+        # LSH-bucket-dependent → rows-only check; est_jaccard values are
+        # still pinned by the minhash_signatures oracle above.
+    }

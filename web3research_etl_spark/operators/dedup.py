@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes (100 TB corpus):
+- exact dedup is a hash groupBy — map-side combine, one shuffle on the
+  16-byte digest, no skew (hashes are uniform);
+- Jaccard/minhash candidate generation joins on shingle/band buckets;
+  super-common shingles create quadratic bucket blowup, so candidate
+  joins drop buckets above ``max_bucket_size`` (a standard LSH guard —
+  log what was dropped rather than silently exploding);
+- everything is built on the md5-int60 hash so a DuckDB oracle can
+  verify results bit-for-bit at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web3research_etl_spark.operators.text import md5_int60, shingle_array
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per identical text (hash groupBy; the
+    digest, not the text, is the shuffle key — 16 bytes/row)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact similarity on candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 12,
+    threshold: float = 0.5,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Exact Jaccard over char-k-gram shingle sets for all pairs sharing
+    ≥1 shingle. shingle→docs inverted index, self-join per shingle,
+    count co-occurrences, |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_bucket_size`` caps the per-shingle bucket (quadratic guard)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bn")).filter(
+        F.col("bn") <= max_bucket_size
+    )
+    sh2 = sh.join(bucket_ok.select("shingle"), "shingle")
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, k: int = 12, num_hashes: int = 16) -> DataFrame:
+    """num_hashes MinHash values per doc: min over shingles of
+    md5_int60(shingle || '#' || i). One explode + one groupBy with
+    num_hashes min() aggregates — partial aggregation keeps the shuffle
+    tiny (num_hashes longs per doc per map task)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(md5_int60(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 12,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    num_hashes/bands rows each; docs sharing any full band are
+    candidates. Band buckets over ``max_bucket_size`` are dropped
+    (quadratic guard). Returns distinct candidate pairs with the
+    estimated Jaccard (fraction of matching minhashes)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(bd)),
+                *[F.col(f"mh{bd * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{bd}")
+        for bd in range(bands)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{bd}") for bd in range(bands)])).alias("bucket"),
+    ).distinct()
+    ok = buckets.groupBy("bucket").agg(F.count("*").alias("bn")).filter(
+        F.col("bn") <= max_bucket_size
+    )
+    buckets = buckets.join(ok.select("bucket"), "bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 16, k: int = 12) -> DataFrame:
+    """bits-bit SimHash over char-shingle hashes: per bit position, sum
+    +1/-1 votes of each shingle hash's bit; sign → bit. One explode +
+    one groupBy with ``bits`` sums (all map-side combinable)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
+    ).select("doc_id", md5_int60(F.col("shingle")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    sig = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Candidate generation joins on half-signature equality (pigeonhole:
+    distance ≤ bits/2-split guarantees one identical half for
+    max_hamming < 2 — for the general case this is a recall-bounded
+    heuristic, the standard SimHash block trick)."""
+    sig = simhash(docs, bits)
+    half = bits // 2
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
+    hi = F.shiftright(F.col("simhash"), half)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("L"), lo.cast("string")),
+                F.concat(F.lit("H"), hi.cast("string")),
+            )
+        ).alias("block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a, b):
+    """cos(a,b) in double precision via JVM higher-order functions
+    (zip_with + aggregate) — sequential sums, bit-stable vs DuckDB."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All-pairs cosine ≥ threshold (brute force — the small-side/test
+    path; the scale path buckets via LSH first, similarity.py)."""
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

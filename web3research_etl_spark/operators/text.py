@@ -1,0 +1,115 @@
+"""Text-analysis operators over a documents corpus — the training-data
+pipeline functions (language ID, quality scoring, token counting,
+fingerprinting). All JVM-side `pyspark.sql.functions` expressions
+(whole-stage codegen; no Python in the hot path); each has an exact
+ANSI-SQL oracle in __spark_entry__.oracle_sql.
+
+Hash parity trick used across the engine: a 60-bit integer derived as
+``conv(substring(md5(x), 1, 15), 16, 10)`` is bit-identical between
+Spark and DuckDB — giving oracle-checkable MinHash/SimHash/fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language stopword markers (subset of functions/extract.py pools
+# restricted to the 5 languages present in the documents fixture).
+LANG_MARKERS_SQL: dict[str, str] = {
+    "en": "the|and|of|to|in|is|that|for",
+    "de": "der|die|und|das|ist|nicht|mit|ein",
+    "fr": "le|la|les|et|est|une|pour|dans",
+    "es": "el|los|las|es|una|por|para|con",
+    "zh": "的|是|了|在|和|不|有|我",
+}
+
+
+def md5_int60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash (Spark/DuckDB bit-identical)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (regexp_count is codegen'd JVM-side)."""
+    return F.regexp_count(col, F.lit(r"\S+"))
+
+
+def doc_token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: length, punctuation density,
+    digit density, mean token length, uppercase ratio. Single projection
+    — fuses into the scan."""
+    text = F.col("text")
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?]"))
+    digits = F.regexp_count(text, F.lit(r"[0-9]"))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_token_len"),
+        (
+            (n_tok >= 5)
+            & (punct / F.greatest(n_chars, F.lit(1)) < 0.2)
+            & (digits / F.greatest(n_chars, F.lit(1)) < 0.3)
+        )
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+def lang_id_sql(docs: DataFrame) -> DataFrame:
+    """Stopword-count language ID as a pure SQL expression (the
+    oracle-checkable twin of functions.extract.detect_lang_udf).
+    Ties break by fixed language order."""
+    counts = {
+        lang: F.regexp_count(F.col("text"), F.lit(rf"(?i)\b({pat})\b"))
+        if lang != "zh"
+        else F.regexp_count(F.col("text"), F.lit(f"({pat})"))
+        for lang, pat in LANG_MARKERS_SQL.items()
+    }
+    langs = list(LANG_MARKERS_SQL)
+    best = F.lit("und")
+    best_cnt = F.lit(0)
+    # reverse order so earlier languages win ties
+    for lang in reversed(langs):
+        c = counts[lang]
+        best = F.when(c >= F.greatest(best_cnt, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_cnt = F.greatest(best_cnt, c)
+    return docs.select(
+        "doc_id",
+        "lang",
+        best.alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: full-text md5 plus a shingle-set rolling
+    fingerprint (min over 3-token-shingle hashes — order-insensitive,
+    robust to local edits)."""
+    shingles = shingle_array(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_fp"),
+        F.array_min(F.transform(shingles, lambda s: md5_int60(s))).alias("shingle_fp"),
+    )
+
+
+def shingle_array(text: Column, k: int = 12) -> Column:
+    """Distinct character k-gram shingles as array<string> — built with
+    JVM-side higher-order functions (no UDF): normalize whitespace,
+    slide a window of k chars. Char shingles (vs word shingles) keep the
+    construction bit-identical across engines for oracle checks."""
+    s = F.regexp_replace(F.lower(text), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
