@@ -43,6 +43,8 @@ def generate_changelog(
     n_source_partitions: int = 8,
     dup_fraction: float = 0.05,
     shuffle_lag: int = 64,
+    body_paragraphs: int = 0,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Return a changelog DataFrame matching schemas.CHANGELOG_SCHEMA.
 
@@ -98,6 +100,20 @@ def generate_changelog(
     )
 
     # Deterministic synthetic HTML from (url, event_seq, lang).
+    # body_paragraphs > 0 pads with deterministic filler paragraphs so
+    # pages approach realistic Common-Crawl sizes (~90 bytes each).
+    filler = (
+        F.repeat(
+            F.concat(
+                F.lit("<p>filler para "),
+                (_h(F.col("event_seq"), "filler", seed) % 1_000_000).cast("string"),
+                F.lit(" with&nbsp;entities &amp; <b>tags</b> to strip.</p>"),
+            ),
+            body_paragraphs,
+        )
+        if body_paragraphs
+        else F.lit("")
+    )
     body = F.concat(
         F.lit("<html><head><title>Page "),
         F.col("url"),
@@ -109,7 +125,9 @@ def generate_changelog(
         F.col("event_seq").cast("string"),
         F.lit(" of "),
         F.col("url"),
-        F.lit(" &amp; friends.</p><!-- hidden --><div>tail "),
+        F.lit(" &amp; friends.</p><!-- hidden -->"),
+        filler,
+        F.lit("<div>tail "),
         (_h(F.col("event_seq"), "body", seed) % 1000).cast("string"),
         F.lit("</div></body></html>"),
     )
@@ -157,7 +175,8 @@ def generate_changelog(
         (F.col("event_seq") / F.lit(shuffle_lag)).cast("long").cast("string"),
         (_h(F.col("event_seq"), "scramble", seed) % 1_000_000).cast("string"),
     )
-    return df.repartitionByRange(F.col("event_seq")).sortWithinPartitions(scramble)
+    parts = [n_partitions] if n_partitions else []
+    return df.repartitionByRange(*parts, F.col("event_seq")).sortWithinPartitions(scramble)
 
 
 def write_changelog_dir(
@@ -170,6 +189,6 @@ def write_changelog_dir(
     """Materialize the changelog as a parquet directory — the file-stream
     source for Structured Streaming (push→pull conversion of the
     reference's WS head subscription, /root/reference/src/ch_eth/sync.rs:127-129)."""
-    df = generate_changelog(spark, n_events, **kwargs)
-    df.repartition(files_per_batch).write.mode("overwrite").parquet(path)
+    df = generate_changelog(spark, n_events, n_partitions=files_per_batch, **kwargs)
+    df.write.mode("overwrite").parquet(path)  # one file per range partition
     return spark.read.parquet(path)

@@ -393,17 +393,16 @@ class LakeTable:
             staged.unionByName(existing_staged) if existing_staged is not None else staged
         )
 
-        # LWW via max_by(payload_struct, version_struct): a partial
-        # aggregation — Tungsten combines per map task, so a key with 1M
-        # duplicate events ships ~n_map_tasks pre-reduced rows through the
-        # shuffle instead of 1M (ReplacingMergeTree semantics, skew-proof).
-        payload = F.struct(F.col(_OP_COL), *[F.col(c) for c in data_cols])
-        version = F.struct(*[F.col(c) for c in vorder])
+        # LWW: two-phase — hash-aggregate the max version tuple per key
+        # (fixed-size buffer → HashAggregate, map-side combine: a key
+        # with 1M duplicate events ships ~n_map_tasks pre-reduced rows),
+        # then semi-join winners back so payload bytes are never sorted
+        # (max_by over binary payloads degrades to SortAggregate).
+        from web3research_etl_spark.operators.lww import lww_dedup_agg
+
         non_version_cols = [c for c in data_cols if c not in set(key) | set(vorder)]
         winners = (
-            unioned.groupBy(*key)
-            .agg(F.max_by(payload, version).alias("_w"))
-            .select([F.col(f"_w.{c}").alias(c) for c in [_OP_COL] + data_cols])
+            lww_dedup_agg(unioned, key, vorder)
             # delete winners become tombstones: payload nulled, version kept
             .withColumn(_DELETED_COL, F.col(_OP_COL) == F.lit("D"))
             .select(

@@ -236,10 +236,30 @@ def cosine_expr(a, b):
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All-pairs cosine ≥ threshold (brute force — the small-side/test
-    path; the scale path buckets via LSH first, similarity.py)."""
-    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    path; the scale path buckets via LSH first, similarity.py).
+
+    Norms are precomputed per vector BEFORE the pair join (O(n) norm
+    work instead of O(n²)); only the dot product runs per pair."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    normed = embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return pairs.select(
-        "id_a", "id_b", F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cosine")
+        "id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
