@@ -76,11 +76,14 @@ def bench_cdc_subprocess(cpus: int, changelog_dir: str, n_events: int) -> dict:
         "import json, bench;"
         f"print('CDCRESULT ' + json.dumps(bench.bench_cdc({cpus}, {changelog_dir!r}, {n_events})))"
     )
+    env = {**os.environ}
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # cached batches are GBs
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
         timeout=1800,
     )
     for line in proc.stdout.splitlines():
@@ -178,9 +181,14 @@ def main() -> None:
     from web3research_etl_spark.changelog import write_changelog_dir
 
     gen_dir = tempfile.mkdtemp(prefix="bench_changelog_") + "/ch"
+    # pages_per_domain scales with events so distinct keys ≈ 40% of the
+    # event count (Common-Crawl-realistic: most change events hit distinct
+    # urls, so dedup can't collapse the batch to a tiny key set);
+    # 64 files ÷ maxFilesPerTrigger=32 → 2 streaming epochs per run
     write_changelog_dir(
-        spark, gen_dir, CDC_EVENTS, files_per_batch=64, body_paragraphs=BODY_PARAS
-    )  # 64 files ÷ maxFilesPerTrigger=32 → 2 streaming epochs per run
+        spark, gen_dir, CDC_EVENTS, files_per_batch=64,
+        body_paragraphs=BODY_PARAS, pages_per_domain=max(200, CDC_EVENTS // 100),
+    )
 
     cdc: dict = {"events": CDC_EVENTS}
     if not SKIP_SCALING:
@@ -230,22 +238,27 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _burn(n):
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
 def _machine_scaling_ceiling(small: int, big: int) -> float:
     """Raw-CPU parallel speedup this box actually delivers from `small`
     to `big` worker processes (pure hashing, no Spark). On oversubscribed
-    vCPUs this is < 1.0 and bounds any job's achievable efficiency."""
-    import hashlib
+    vCPUs this is < 1.0 and bounds any job's achievable efficiency.
+    Uses spawn (fork is unsafe after the JVM is up)."""
     import multiprocessing as mp
 
-    def _burn(n):
-        h = b"x" * 64
-        for _ in range(n):
-            h = hashlib.md5(h).digest()
-        return 1
+    ctx = mp.get_context("spawn")
 
     def _run(workers):
         t0 = time.time()
-        with mp.Pool(workers) as p:
+        with ctx.Pool(workers) as p:
             p.map(_burn, [1_000_000] * (big * 2), chunksize=1)
         return time.time() - t0
 
