@@ -51,23 +51,51 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_lww_plan_has_no_payload_sort(spark):
-    """The dedup path must never SortAggregate/sort the html payload."""
-    from web3research_etl_spark.changelog import generate_changelog
-    from web3research_etl_spark.operators.lww import lww_dedup_agg
-
-    ch = generate_changelog(spark, 1000).select(
-        "op", "url", "warc_ts", "event_seq", "html", "lang"
-    )
-    plan = _physical_plan(lww_dedup_agg(ch, ["url"], ["warc_ts", "event_seq"]))
-    # load-bearing properties: the winner set joins back as a BROADCAST
-    # left-semi (payload side never shuffled/sorted for the join), and
-    # no Exchange ships the html column except the final tiny dropDup
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    # the one sort-free payload path: html must not appear in any Sort node
+def _assert_no_payload_sort(plan: str) -> None:
+    # the payload must never appear in any Sort node (SortMergeJoin or
+    # SortAggregate over html would externally sort every payload byte)
     for seg in plan.split("Sort [")[1:]:
         sort_keys = seg.split("]", 1)[0]
         assert "html" not in sort_keys
+
+
+def _lww_test_input(spark):
+    from web3research_etl_spark.changelog import generate_changelog
+
+    return generate_changelog(spark, 1000).select(
+        "op", "url", "warc_ts", "event_seq", "html", "lang"
+    )
+
+
+def test_lww_shuffle_hash_plan(spark):
+    """Default (scale) path: the clean-winner semi-join is a
+    ShuffledHashJoin (no driver-side winner materialization), phase-1a
+    runs as a true HashAggregate (count buffers — map-side combine over
+    skewed keys), the tie sliver joins by broadcast, and html never
+    appears among any Sort's keys."""
+    from web3research_etl_spark.operators.lww import lww_dedup_agg
+
+    plan = _physical_plan(lww_dedup_agg(_lww_test_input(spark), ["url"], ["warc_ts", "event_seq"]))
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan  # the tie-sliver path
+    assert "HashAggregate" in plan  # phase-1a count agg
+    _assert_no_payload_sort(plan)
+
+
+def test_lww_broadcast_plan(spark):
+    """Broadcast path: both winner sets broadcast — the payload side is
+    filtered in place, shuffled by nothing."""
+    from web3research_etl_spark.operators.lww import lww_dedup_agg
+
+    plan = _physical_plan(
+        lww_dedup_agg(
+            _lww_test_input(spark), ["url"], ["warc_ts", "event_seq"],
+            winner_join="broadcast",
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "ShuffledHashJoin" not in plan
+    _assert_no_payload_sort(plan)
 
 
 def test_lake_read_filter_pushdown(spark, tmp_table_dir):

@@ -260,19 +260,45 @@ class LakeTable:
 
     # --------------------------------------------------------------- write
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int, schema: T.StructType
+        self,
+        df: DataFrame,
+        snapshot_id: int,
+        schema: T.StructType,
+        salt_partitions: int | None = None,
     ) -> dict[int, list[str]]:
         """Write df (must carry _bucket) partitioned by bucket; return
-        {bucket: [relative paths]}. One shuffle, one job, all buckets."""
+        {bucket: [relative paths]}. One shuffle, one job, all buckets.
+
+        The pre-write repartition is pinned to ``n_buckets`` output
+        partitions at EVERY parallelism level: the file layout, shuffle
+        hash placement, and any balls-in-bins imbalance are then
+        identical whether the job runs on N or 4N cores — tasks are
+        small and schedule across whatever cores exist, instead of the
+        partition count (and its skew pattern) changing with the
+        cluster size."""
         out_rel = os.path.join("data", f"s{snapshot_id:08d}")
         out_abs = os.path.join(self.path, out_rel)
+        snap = self.current_snapshot()
         ordered = [f.name for f in schema.fields] + [_DELETED_COL]
         if _DELETED_COL not in df.columns:
             df = df.withColumn(_DELETED_COL, F.lit(False))
+        staged = df.select(_BUCKET_COL, *ordered)
+        if salt_partitions:
+            # hot-bucket skew spread (axis A): shuffle by (bucket, salt)
+            # so one hot bucket's rows fan out over many writer tasks;
+            # partitionBy(bucket) below re-collates them into the right
+            # files (more, smaller files for the hot bucket — the
+            # correct trade at scale).
+            key_cols = [F.col(c) for c in (snap["key"] or ordered[:1])]
+            staged = staged.repartition(
+                salt_partitions,
+                F.col(_BUCKET_COL),
+                F.pmod(F.xxhash64(*key_cols), F.lit(salt_partitions)),
+            )
+        else:
+            staged = staged.repartition(snap["n_buckets"], F.col(_BUCKET_COL))
         (
-            df.select(_BUCKET_COL, *ordered)
-            .repartition(F.col(_BUCKET_COL))
-            .sortWithinPartitions(*(self.current_snapshot()["key"] or ordered[:1]))
+            staged.sortWithinPartitions(*(snap["key"] or ordered[:1]))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(out_abs)
@@ -311,20 +337,27 @@ class LakeTable:
         salt_partitions: int | None = None,
         summary_extra: dict | None = None,
         force_replace: bool = False,
+        post_dedup_transform=None,
+        winner_join: str | None = None,
     ) -> dict:
-        """MERGE INTO: apply a deduped changelog batch (op ∈ I/U/D).
+        """MERGE INTO: apply a changelog batch (op ∈ I/U/D).
 
-        ``batch`` must contain the table's data columns plus an ``op``
-        column; exactly one row per key (run LWW dedup first —
-        operators/lww.py). Copy-on-write over touched buckets only:
+        ``batch`` contains the table's data columns plus an ``op``
+        column; it may hold many events per key in any order — ONE LWW
+        pass resolves batch-internal duplicates AND the batch-vs-stored
+        conflict together. Copy-on-write over touched buckets only:
 
         1. bucket each batch row by key hash;
         2. touched = distinct buckets (tiny driver-side list, ≤ n_buckets);
         3. union(existing rows of touched buckets, batch rows) → LWW per
-           key via max_by partial aggregation (map-side combine ⇒ hot
-           keys reduce before the shuffle — no window sort needed);
-        4. drop keys whose winner is op='D';
-        5. write touched buckets, carry over untouched file groups,
+           key via two-phase hash agg + semi-join (operators/lww.py:
+           map-side combine ⇒ hot keys reduce before the shuffle, and
+           payload bytes cross at most one shuffle, never a sort);
+        4. ``post_dedup_transform`` (if given) runs on the winner rows —
+           the hook where expensive per-row compute (HTML→text pandas
+           UDF) runs ONCE per surviving key instead of once per event;
+        5. winners whose op='D' become tombstones (payload nulled);
+        6. write touched buckets, carry over untouched file groups,
            commit one snapshot with the epoch marker.
 
         ``force_replace=True`` makes the batch authoritative for its keys
@@ -333,10 +366,11 @@ class LakeTable:
         reinsert reorg/heal path, src/ch_eth/sync.rs:100-115, here one
         atomic commit). Normal CDC apply keeps LWW.
 
-        ``salt_partitions``: optional extra repartition spread before the
-        write of hot buckets (axis A — hot-domain skew): repartition by
-        (bucket, salt) so a single hot bucket's rows are shuffled by many
-        reducers, then partitionBy(bucket) at write re-collates files.
+        ``salt_partitions``: optional write-side skew spread (axis A) —
+        see _write_data_files.
+
+        ``winner_join``: phase-2 retrieval strategy, see
+        operators/lww.lww_dedup_agg.
         """
         snap = self.current_snapshot()
         if epoch_id is not None and epoch_id in self.committed_epochs(snap):
@@ -392,6 +426,12 @@ class LakeTable:
         unioned = (
             staged.unionByName(existing_staged) if existing_staged is not None else staged
         )
+        # Deliberately NOT cached: the LWW plan reads `unioned` twice
+        # (skinny phase-1 agg — parquet column pruning strips payload
+        # bytes — and the payload semi-join), and building the in-memory
+        # columnar cache for 4 KB binary payloads measures ~1.7× slower
+        # than simply re-decoding the parquet (bench variant probe,
+        # 1M events: cached 116 s vs uncached 67 s per run).
 
         # LWW: two-phase — hash-aggregate the max version tuple per key
         # (fixed-size buffer → HashAggregate, map-side combine: a key
@@ -401,10 +441,14 @@ class LakeTable:
         from web3research_etl_spark.operators.lww import lww_dedup_agg
 
         non_version_cols = [c for c in data_cols if c not in set(key) | set(vorder)]
+        if winner_join is None:
+            winner_join = os.environ.get("WEB3R_WINNER_JOIN", "shuffle_hash")
+        winners = lww_dedup_agg(unioned, key, vorder, winner_join=winner_join)
+        if post_dedup_transform is not None:
+            winners = post_dedup_transform(winners)
         winners = (
-            lww_dedup_agg(unioned, key, vorder)
             # delete winners become tombstones: payload nulled, version kept
-            .withColumn(_DELETED_COL, F.col(_OP_COL) == F.lit("D"))
+            winners.withColumn(_DELETED_COL, F.col(_OP_COL) == F.lit("D"))
             .select(
                 *key,
                 *vorder,
@@ -416,15 +460,11 @@ class LakeTable:
             )
             .withColumn(_BUCKET_COL, self._bucket_expr(snap))
         )
-        if salt_partitions:
-            winners = winners.repartition(
-                salt_partitions,
-                F.col(_BUCKET_COL),
-                F.pmod(F.xxhash64(*key), F.lit(salt_partitions)),
-            )
 
         new_id = snap["snapshot_id"] + 1
-        by_bucket = self._write_data_files(winners, new_id, schema)
+        by_bucket = self._write_data_files(
+            winners, new_id, schema, salt_partitions=salt_partitions
+        )
         new_groups = keep_groups + [
             {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
             for b, ps in sorted(by_bucket.items())

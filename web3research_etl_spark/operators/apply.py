@@ -12,11 +12,16 @@ Stage order per batch (order chosen for scale):
 1. epoch already committed? → skip (exactly-once under retries);
 2. registry sync: ALTER the table for any payload versions seen;
 3. payload parse (from_json, registry types) — JVM-side;
-4. LWW dedup within the batch (max_by partial agg — map-side combine,
-   skew-proof) — BEFORE extraction so the expensive UDF runs once per
-   surviving key, not once per duplicate event;
-5. HTML→text extraction (Arrow pandas UDF) on winning upsert rows only;
-6. bucketed copy-on-write MERGE (touched buckets only, optional salt);
+4. ONE fused LWW pass inside the merge resolves batch-internal
+   duplicates AND batch-vs-stored conflicts together (two-phase hash
+   agg + semi-join — map-side combine, skew-proof, payload bytes cross
+   at most one shuffle; see operators/lww.py). A separate pre-dedup of
+   the batch would shuffle the payloads a second time for nothing;
+5. HTML→text extraction (Arrow pandas UDF) runs as the merge's
+   post-dedup transform — once per SURVIVING key, not once per event,
+   and only where no already-extracted text exists (rows that lost to
+   stored state never reach the UDF);
+6. bucketed copy-on-write write (touched buckets only, optional salt);
 7. lineage-ledger append for the same epoch.
 """
 
@@ -28,7 +33,6 @@ from pyspark.sql import functions as F
 from web3research_etl_spark.functions.extract import extract_text_udf
 from web3research_etl_spark.lake.table import LakeTable
 from web3research_etl_spark.ledger import ledger_rows_for_batch
-from web3research_etl_spark.operators.lww import lww_dedup_agg
 from web3research_etl_spark.registry import parse_payload, sync_table_schema
 
 _CORE_COLS = ["op", "url", "warc_ts", "event_seq", "html", "lang"]
@@ -59,31 +63,43 @@ def apply_changelog_batch(
                 if c in table_cols and c not in set(_CORE_COLS) | {"text"}
             ]
 
-    # The micro-batch feeds several actions (dedup phase-1, winner join,
-    # touched-bucket probe, write, ledger); without a cache each action
-    # re-scans and re-decompresses the source — measured 3-4 full scans
-    # per epoch. Cache once, unpersist at the end (micro-batches are
-    # sized to cluster memory; MEMORY_AND_DISK spills instead of OOM).
-    from pyspark import StorageLevel
+    # No batch-level cache here: merge_changelog caches the batch∪stored
+    # union itself (the thing its LWW plan scans repeatedly); the only
+    # other batch consumers — the touched-bucket probe and the ledger
+    # aggregate — read one or two skinny columns that parquet column
+    # pruning makes cheap to rescan.
+    projected = batch.select(*_CORE_COLS, *extra_cols)
 
-    projected = batch.select(*_CORE_COLS, *extra_cols).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    deduped = lww_dedup_agg(projected, key=["url"], version_order=["warc_ts", "event_seq"])
-    # extraction after dedup: the Arrow UDF runs once per surviving key;
-    # winners are cached so the merge's bucket probe + write don't rerun
-    # the dedup join or the extraction
-    with_text = deduped.withColumn(
-        "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        result = table.merge_changelog(
-            with_text, epoch_id=epoch_id, salt_partitions=salt_partitions
+    def _extract_on_winners(winners):
+        # Merge post-dedup hook: winners carry the table columns + "_op".
+        # Batch-origin winners have text NULL (the changelog never ships
+        # extracted text); stored-origin winners already carry it.
+        #
+        # Single-consumer, single-pass: a filter/union branch split here
+        # would make Spark evaluate the whole upstream LWW-join pipeline
+        # once PER BRANCH (no cross-branch subtree reuse — measured ~2×
+        # epoch cost), and a when() guard alone would not help because
+        # pandas UDFs are lifted into their own ArrowEvalPython node and
+        # run for every row. Instead the UDF's INPUT is null-gated:
+        # rows that already have text (or are deletes) ship NULL html
+        # across Arrow — bytes only cross, and regexes only run, for
+        # rows that actually need extraction.
+        needs = F.col("text").isNull() & (F.col("_op") != "D")
+        return winners.withColumn(
+            "text",
+            F.coalesce(
+                F.col("text"),
+                extract_text_udf(F.when(needs, F.col("html"))),
+            ),
         )
-        if ledger is not None and not result.get("skipped"):
-            rows = ledger_rows_for_batch(batch, epoch_id, result["snapshot_id"])
-            ledger.append(rows, epoch_id=epoch_id)
-    finally:
-        with_text.unpersist(blocking=False)
-        projected.unpersist(blocking=False)
+
+    result = table.merge_changelog(
+        projected.withColumn("text", F.lit(None).cast("string")),
+        epoch_id=epoch_id,
+        salt_partitions=salt_partitions,
+        post_dedup_transform=_extract_on_winners,
+    )
+    if ledger is not None and not result.get("skipped"):
+        rows = ledger_rows_for_batch(batch, epoch_id, result["snapshot_id"])
+        ledger.append(rows, epoch_id=epoch_id)
     return result

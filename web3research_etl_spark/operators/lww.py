@@ -7,25 +7,44 @@ identical semantics (tested equal):
 
 - :func:`lww_dedup_window` — the textbook ``row_number() OVER
   (PARTITION BY key ORDER BY version DESC) = 1`` (north-star wording).
-  Full shuffle + per-key sort; a hot key's rows all land on one reducer.
+  Full shuffle + per-key sort; a hot key's rows all land on one reducer
+  and every payload byte crosses the shuffle AND the sort.
 - :func:`lww_dedup_agg` — two-phase hash-agg + semi-join. Phase 1
   aggregates only the version tuple (fixed-size buffer → HashAggregate
   with map-side combine: a key with millions of duplicate events ships
-  O(map tasks) rows through the shuffle, not O(rows)). Phase 2
-  semi-joins the winning versions back, so large payloads (html binary)
-  cross exactly one join probe and are never sorted. This is the scale
-  path and the default used by the merge sink.
+  O(map tasks) rows through the shuffle, not O(rows); payload columns
+  are parquet-pruned out of the scan). Phase 2 semi-joins the winning
+  versions back, so large payloads (html binary) cross exactly one
+  shuffle and are never sorted. This is the scale path and the default
+  used by the merge sink.
 
 (A one-phase ``max_by(payload_struct, version_struct)`` looks simpler
 but Spark plans it as SortAggregate when the payload struct contains
 binary — externally sorting every payload byte; measured 10×+ slower
 on 4 KB pages.)
+
+Exact ties — the same (key, version) emitted more than once, e.g. an
+at-least-once source re-delivering a batch — are collapsed without
+pushing payloads through any aggregate: phase 1 counts the rows
+carrying each key's winning version (counts keep the aggregate a true
+HashAggregate — long buffers; note that ``max(struct(...))`` or
+``first(binary)`` buffers are non-mutable and silently demote the whole
+aggregate to SortAggregate, which is why dropDuplicates over payload
+columns is never used on the main path — verified by the plan tests).
+Unique-winner keys (the overwhelming majority) need no post-join dedup
+at all; only the tied sliver takes a broadcast side path +
+dropDuplicates confined to those rows. The contract is the usual CDC
+one: the version tuple totally orders a key's DISTINCT events, so rows
+tying on (key, version) are re-deliveries of one event and
+content-identical — whichever copy survives, the result is the same.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_N_COL = "_lww_n"
 
 
 def lww_dedup_window(
@@ -43,35 +62,43 @@ def lww_dedup_agg(
     df: DataFrame,
     key: list[str],
     version_order: list[str],
-    broadcast_threshold: int = 4_000_000,
+    winner_join: str = "shuffle_hash",
 ) -> DataFrame:
-    """Two-phase: (1) max version tuple per key — a FIXED-SIZE agg
-    buffer, so Spark uses HashAggregate with map-side combine (max_by
-    over a payload struct containing binary falls back to SortAggregate
-    and externally sorts every payload byte — measured 10×+ slower on
-    4 KB pages); (2) left-semi join the winning (key, version) back —
-    payloads flow through one shuffle-free (broadcastable) join probe,
-    never through a sort. Residual exact-duplicate events (same key+
-    version emitted twice) collapse in a final tiny dropDuplicates."""
-    version = F.struct(*[F.col(c) for c in version_order])
-    winners = (
-        df.groupBy(*key)
-        .agg(F.max(version).alias("_v"))
-        .select(*key, *[F.col(f"_v.{c}").alias(c) for c in version_order])
+    """Two-phase LWW dedup; see module docstring.
+
+    winner_join: "shuffle_hash" (default — scales with cores, no
+    driver-side materialization; payload side hash-shuffled once, ties
+    collapsed exchange-free) or "broadcast" (zero payload shuffle, but
+    the winner set is collected to and re-sent from the driver — a
+    fixed serial cost; right when winners are known-small).
+    """
+    vcols = [F.col(c) for c in version_order]
+    join_cols = key + version_order
+
+    # Phase 1a: rows per (key, version) — count() keeps the buffer a
+    # mutable long ⇒ HashAggregate with map-side combine over the raw
+    # (possibly hot-key-skewed) data. Phase 1b: max version per key over
+    # the already-collapsed per-version rows; the struct-max buffer
+    # demotes 1b to SortAggregate, but its input is one skinny row per
+    # DISTINCT (key, version) — the heavy reduction already happened
+    # hash-side in 1a.
+    per_version = df.groupBy(*key, *version_order).agg(F.count("*").alias(_N_COL))
+    best = (
+        per_version.groupBy(*key)
+        .agg(F.max(F.struct(*vcols, F.col(_N_COL))).alias("_v"))
+        .select(
+            *key,
+            *[F.col(f"_v.{c}").alias(c) for c in version_order],
+            F.col(f"_v.{_N_COL}").alias(_N_COL),
+        )
     )
-    # Phase 1 scans only key+version columns (parquet-pruned — payload
-    # bytes untouched). Counting it costs one cheap job and lets us pick
-    # the join strategy explicitly (AQE is unavailable inside streaming
-    # micro-batches): broadcast ⇒ the payload side is filtered IN PLACE,
-    # zero payload shuffle; above the threshold fall back to
-    # shuffle-hash (payload hashed once, never sorted — a sort-merge
-    # semi-join here would externally sort every payload byte).
-    n_winners = winners.count()
-    if n_winners <= broadcast_threshold:
-        winners = F.broadcast(winners)
-    else:
-        winners = winners.hint("SHUFFLE_HASH")
-    deduped = df.join(winners, key + version_order, "left_semi")
-    # collapse exact re-deliveries (same key+version emitted twice);
-    # input here is already winners-only, so this shuffle is tiny
-    return deduped.dropDuplicates(key)
+    clean = best.filter(F.col(_N_COL) == 1).drop(_N_COL)
+    ties = best.filter(F.col(_N_COL) > 1).drop(_N_COL)
+
+    clean = F.broadcast(clean) if winner_join == "broadcast" else clean.hint("SHUFFLE_HASH")
+    out = df.join(clean, join_cols, "left_semi")
+    # Tie path: re-delivered (key, version) pairs — a bounded sliver of
+    # any batch, so broadcast is safe; the payload dropDuplicates (a
+    # SortAggregate over binary) runs on only these rows.
+    tied_rows = df.join(F.broadcast(ties), join_cols, "left_semi").dropDuplicates(key)
+    return out.unionByName(tied_rows)
