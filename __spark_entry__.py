@@ -415,6 +415,64 @@ def q_ann_brute_topk(spark, sf_dir):
     return brute_force_topk(emb, list(qv), k=10)
 
 
+def q_dispatch_fanout(spark, sf_dir):
+    """Type-dispatch router (SURVEY P8: the reference's 39-way contract
+    dispatch, src/ch_tron/init.rs:373-821) + multi-table fan-out (S7):
+    one pass tags the route, each route gets its own projection, one
+    action per route — here folded to per-route counts so the result is
+    one DataFrame."""
+    from web3research_etl_spark.operators.dispatch import REST_ROUTE, dispatch_by_type
+
+    ev = _t(spark, sf_dir, "events")
+    routed = dispatch_by_type(
+        ev,
+        "event_type",
+        {
+            "click": lambda d: d.select("event_id", "user_id"),
+            "view": lambda d: d.select("event_id", "value"),
+            "purchase": lambda d: d.select(
+                "event_id", F.round("value", 2).alias("amount")
+            ),
+        },
+    )
+    parts = [
+        df.agg(F.count("*").alias("n")).select(F.lit(name).alias("route"), "n")
+        for name, df in routed.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _ = REST_ROUTE
+    return out
+
+
+def q_hex_roundtrip(spark, sf_dir):
+    """Hex-string → integer parse (SURVEY F2, JVM-side conv): encode
+    event_id to hex and parse it back; rows where the roundtrip fails
+    would diverge from the oracle."""
+    from web3research_etl_spark.functions.encode import hex_to_long
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hex(F.col("event_id")).alias("h"),
+        hex_to_long(F.hex(F.col("event_id"))).alias("parsed"),
+    )
+
+
+def q_doc_b58_fingerprint(spark, sf_dir):
+    """Base58Check document fingerprint (SURVEY F4 — no SQL equivalent
+    in DuckDB, so this is a rows-only check; the kernel is pinned by
+    known-vector unit tests instead)."""
+    from web3research_etl_spark.functions.encode import b58check_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        b58check_udf(0)(F.unhex(F.md5("text"))).alias("b58_fp"),
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     from web3research_etl_spark.operators.multimodal import attach_media
 
@@ -468,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
+        "dispatch_fanout": q_dispatch_fanout,
+        "hex_roundtrip": q_hex_roundtrip,
+        "doc_b58_fingerprint": q_doc_b58_fingerprint,
     }
 
 
@@ -746,6 +807,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "dispatch_fanout": """
+            SELECT 'click' AS route, count(*) AS n FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'view', count(*) FROM events WHERE event_type = 'view'
+            UNION ALL
+            SELECT 'purchase', count(*) FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT '_rest', count(*) FROM events
+            WHERE event_type NOT IN ('click', 'view', 'purchase')
+               OR event_type IS NULL
+        """,
+        "hex_roundtrip": """
+            SELECT event_id, upper(to_hex(event_id)) AS h,
+                   CAST(('0x' || to_hex(event_id)) AS BIGINT) AS parsed
+            FROM events
+        """,
+        # doc_b58_fingerprint intentionally omitted: DuckDB has no
+        # base58; the kernel is pinned by known-vector unit tests
+        # (tests/test_dispatch_and_encode.py) → rows-only check.
         "media_metadata": """
             SELECT doc_id, 'image/fake' AS media_type,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,

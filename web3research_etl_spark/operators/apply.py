@@ -70,34 +70,33 @@ def apply_changelog_batch(
     # pruning makes cheap to rescan.
     projected = batch.select(*_CORE_COLS, *extra_cols)
 
-    def _extract_on_winners(winners):
-        # Merge post-dedup hook: winners carry the table columns + "_op".
-        # Batch-origin winners have text NULL (the changelog never ships
-        # extracted text); stored-origin winners already carry it.
+    def _extract_at_write(staged):
+        # Merge pre-write hook — runs inside the write stage, after the
+        # bucket repartition (pinned parallelism, output never crosses
+        # a shuffle; see LakeTable._write_data_files). Batch-origin
+        # winners have text NULL (the changelog never ships extracted
+        # text); stored-origin winners already carry it; tombstones
+        # have html nulled already.
         #
         # Single-consumer, single-pass: a filter/union branch split here
-        # would make Spark evaluate the whole upstream LWW-join pipeline
-        # once PER BRANCH (no cross-branch subtree reuse — measured ~2×
-        # epoch cost), and a when() guard alone would not help because
-        # pandas UDFs are lifted into their own ArrowEvalPython node and
-        # run for every row. Instead the UDF's INPUT is null-gated:
-        # rows that already have text (or are deletes) ship NULL html
-        # across Arrow — bytes only cross, and regexes only run, for
-        # rows that actually need extraction.
-        needs = F.col("text").isNull() & (F.col("_op") != "D")
-        return winners.withColumn(
-            "text",
-            F.coalesce(
-                F.col("text"),
-                extract_text_udf(F.when(needs, F.col("html"))),
-            ),
+        # would make Spark evaluate the whole upstream pipeline once PER
+        # BRANCH (no cross-branch subtree reuse — measured ~2× epoch
+        # cost), and a when() guard alone would not help because pandas
+        # UDFs are lifted into their own ArrowEvalPython node and run
+        # for every row. Instead the UDF's INPUT is null-gated: rows
+        # that already have text ship NULL html across Arrow — bytes
+        # only cross, and regexes only run, for rows that actually need
+        # extraction.
+        gated = F.when(F.col("text").isNull(), F.col("html"))
+        return staged.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text_udf(gated))
         )
 
     result = table.merge_changelog(
         projected.withColumn("text", F.lit(None).cast("string")),
         epoch_id=epoch_id,
         salt_partitions=salt_partitions,
-        post_dedup_transform=_extract_on_winners,
+        pre_write_transform=_extract_at_write,
     )
     if ledger is not None and not result.get("skipped"):
         rows = ledger_rows_for_batch(batch, epoch_id, result["snapshot_id"])

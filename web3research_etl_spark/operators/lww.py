@@ -63,6 +63,7 @@ def lww_dedup_agg(
     key: list[str],
     version_order: list[str],
     winner_join: str = "shuffle_hash",
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Two-phase LWW dedup; see module docstring.
 
@@ -71,6 +72,13 @@ def lww_dedup_agg(
     collapsed exchange-free) or "broadcast" (zero payload shuffle, but
     the winner set is collected to and re-sent from the driver — a
     fixed serial cost; right when winners are known-small).
+
+    persist_tracker: when a list is passed, the skinny phase-1
+    aggregate is persisted (it has two consumers — the clean-winner set
+    and the broadcast tie set — which would otherwise each re-run the
+    full scan+agg) and appended to the list; the CALLER unpersists
+    after its terminal action. ~70 bytes/key, nothing like the payload
+    caches this engine deliberately avoids.
     """
     vcols = [F.col(c) for c in version_order]
     join_cols = key + version_order
@@ -92,6 +100,16 @@ def lww_dedup_agg(
             F.col(f"_v.{_N_COL}").alias(_N_COL),
         )
     )
+    if persist_tracker is not None:
+        # `best` has two consumers (clean winner set, broadcast tie
+        # set); uncached, each re-runs the full phase-1 scan+agg —
+        # measured as back-to-back duplicate stages per epoch. ~70
+        # bytes/key, nothing like the payload caches this engine
+        # deliberately avoids.
+        from pyspark import StorageLevel
+
+        best = best.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(best)
     clean = best.filter(F.col(_N_COL) == 1).drop(_N_COL)
     ties = best.filter(F.col(_N_COL) > 1).drop(_N_COL)
 
