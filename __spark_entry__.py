@@ -415,6 +415,58 @@ def q_ann_brute_topk(spark, sf_dir):
     return brute_force_topk(emb, list(qv), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the scale path next to ann_brute_topk): deterministic
+    codebook, codegen'd narrow-projection cell assignment, n_probe cell
+    prune, exact re-rank — oracle-checkable end to end."""
+    from web3research_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return ivf_topk(emb, qv, n_centroids=16, n_probe=4, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN (rows-only check: signature sign bits near
+    zero are float-sensitive across engines; recall vs brute force is
+    pinned by tests/test_training_ops.py instead)."""
+    from web3research_etl_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return lsh_topk(emb, qv, dim=64, k=10, n_planes=8, max_hamming=3)
+
+
+def q_events_windowed_rates(spark, sf_dir):
+    """Tumbling-window event rates — the batch expression of the
+    streaming watermark+window aggregation (streaming/stateful.py uses
+    the same F.window over readStream; hypertable-rollup analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_clickers_minus_buyers(spark, sf_dir):
+    """Distinct set difference (SURVEY §2.5 set ops): (user, day) pairs
+    with a click but no purchase that day."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clickers.subtract(buyers)
+
+
 def q_dispatch_fanout(spark, sf_dir):
     """Type-dispatch router (SURVEY P8: the reference's 39-way contract
     dispatch, src/ch_tron/init.rs:373-821) + multi-table fan-out (S7):
@@ -524,6 +576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "events_windowed_rates": q_events_windowed_rates,
+        "clickers_minus_buyers": q_clickers_minus_buyers,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "dispatch_fanout": q_dispatch_fanout,
@@ -806,6 +862,42 @@ def oracle_sql() -> dict[str, str]:
                    round({_cos_expr('embeddings.embedding', 'q.qe')}, 6) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH cent AS (
+              SELECT vec_id AS centroid_id, embedding AS centroid
+              FROM embeddings WHERE vec_id < 16),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            probe AS (
+              SELECT centroid_id FROM cent, q
+              ORDER BY {_cos_expr('cent.centroid', 'q.qe')} DESC, centroid_id ASC
+              LIMIT 4),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_expr('e.embedding', 'c.centroid')} DESC,
+                                c.centroid_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cent c)
+            SELECT s.vec_id, round({_cos_expr('s.embedding', 'q.qe')}, 6) AS cosine
+            FROM scored s, q
+            WHERE s.rn = 1 AND s.centroid_id IN (SELECT centroid_id FROM probe)
+            ORDER BY cosine DESC, s.vec_id ASC LIMIT 10
+        """,
+        # ann_lsh_topk intentionally omitted: hyperplane sign bits near
+        # zero are float-order-sensitive across engines → rows-only;
+        # recall vs brute force pinned by test_training_ops.
+        "events_windowed_rates": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "clickers_minus_buyers": """
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'purchase'
         """,
         "dispatch_fanout": """
             SELECT 'click' AS route, count(*) AS n FROM events WHERE event_type = 'click'

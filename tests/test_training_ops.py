@@ -111,3 +111,34 @@ def test_multimodal_stub_raises_without_fake(spark, docs):
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"bytes", deterministic_fake=False)
+
+
+def test_ivf_topk_recall_and_prune(spark, emb):
+    from web3research_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in ivf_topk(emb, qv, n_centroids=16, n_probe=6, k=10).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 5  # probe-6/16 recall on 500 vecs
+    assert exact[0] in approx  # query's own cell is always probed
+
+    # assignment is total, deterministic, and actually prunes
+    cents = [
+        (r["centroid_id"], [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(emb, 16).collect()
+    ]
+    assigned = ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.count() == n
+    cells = assigned.groupBy("cell").count()
+    assert cells.count() > 1  # vectors actually spread across cells
+    probed_rows = assigned.filter(F.col("cell").isin([c for c, _ in cents[:6]])).count()
+    assert probed_rows < n  # the prune removes work

@@ -52,6 +52,80 @@ def hyperplane_signature(emb_col, dim: int, n_planes: int = 8):
     return sig
 
 
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Codebook = the first ``n_centroids`` vectors by vec_id. A real
+    index build would k-means these; centroid CHOICE is orthogonal to
+    the engine mechanics (assign / probe / prune) this operator pins,
+    and a deterministic codebook keeps the result oracle-checkable."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """IVF coarse quantization: add ``cell`` = argmax_c cos(v, centroid_c),
+    ties to the lower centroid id.
+
+    The codebook is inlined as literal arrays, so the argmax is a NARROW
+    projection folded into whole-stage codegen — no join, no shuffle, no
+    UDF; at 100 TB this is one map pass, and writing the table
+    partitioned by ``cell`` afterwards makes probes partition-prunable
+    (the IVF analog of the reference's sparse primary index,
+    /root/reference/src/ch_eth/init.rs:206)."""
+    best = None
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        cand = F.struct(
+            cosine_expr(F.col("embedding"), c).alias("score"),
+            F.lit(-int(cid)).alias("neg_id"),
+        )
+        best = cand if best is None else F.greatest(best, cand)
+    return embeddings.withColumn("cell", (-best["neg_id"]).cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` cells whose centroids are nearest
+    the query, exact-cosine re-rank only rows assigned to those cells.
+    The codebook collect is the (tiny) index-build step, not a
+    driver-side loop over data."""
+    cents = [
+        (r["centroid_id"], [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(embeddings, n_centroids).collect()
+    ]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        # sequential double fold — matches cosine_expr / DuckDB list_sum
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        return dot / ((n1**0.5) * (n2**0.5))
+
+    probed = [
+        cid
+        for cid, _ in sorted(cents, key=lambda cv: (-_cos(query_vec, cv[1]), cv[0]))[
+            :n_probe
+        ]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign(embeddings, cents)
+        .filter(F.col("cell").isin(probed))
+        .select(
+            "vec_id", F.round(cosine_expr(F.col("embedding"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
