@@ -316,6 +316,37 @@ def q_rollup_sales(spark, sf_dir):
     )
 
 
+def q_cube_sales(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations — SURVEY §2.4:
+    free in Spark, absent in the reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+        )
+    )
+
+
+def q_events_running_30min(spark, sf_dir):
+    """RANGE-frame window (time-interval frame, not row-count): per
+    user, running sum of value over the trailing 30 minutes."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-1800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("run_sum_30m"),
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -563,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "rollup_sales": q_rollup_sales,
+        "cube_sales": q_cube_sales,
+        "events_running_30min": q_events_running_30min,
         "customers_without_orders": q_customers_without_orders,
         "parts_by_brand_broadcast": q_parts_by_brand_broadcast,
         "doc_token_counts": q_doc_token_counts,
@@ -768,6 +801,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS linestatus,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_sales": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "events_running_30min": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2)
+                     AS run_sum_30m
+            FROM events
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "embedding_near_dups",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "events_windowed_rates",
 ]
 
 

@@ -188,3 +188,28 @@ def test_rewrite_small_files_compaction(spark, tmp_table_dir):
     assert t.read(snapshot_id=before_snap).count() == t.read().count()
     # idempotent: second run is a no-op
     assert t.rewrite_small_files()["skipped"] in (True, False)
+
+
+def test_salted_merge_same_state_more_hot_bucket_files(spark, tmp_table_dir):
+    """Salting changes the shuffle, never the result (SURVEY §7 hard
+    point b): identical state hash salted vs unsalted, and the salted
+    write spreads a hot bucket's rows over MORE writer tasks → more
+    files for that bucket (the skew-break evidence, axis A)."""
+    from web3research_etl_spark.changelog import generate_changelog
+
+    # one hot domain: skew every event into few buckets
+    ch = generate_changelog(spark, 2000, n_domains=1, pages_per_domain=40)
+    t_plain = _table(spark, tmp_table_dir + "/plain", n_buckets=4)
+    t_salt = _table(spark, tmp_table_dir + "/salt", n_buckets=4)
+    cols = ["op", "url", "warc_ts", "event_seq", F.col("lang").alias("v")]
+    t_plain.merge_changelog(ch.select(*cols), epoch_id=0)
+    t_salt.merge_changelog(ch.select(*cols), epoch_id=0, salt_partitions=16)
+    assert t_plain.state_hash() == t_salt.state_hash()
+
+    def files_per_bucket(t):
+        groups = t.current_snapshot()["file_groups"]
+        return {g["bucket"]: len(g["paths"]) for g in groups}
+
+    plain_f, salt_f = files_per_bucket(t_plain), files_per_bucket(t_salt)
+    hot = max(salt_f, key=lambda b: salt_f[b])
+    assert salt_f[hot] > plain_f.get(hot, 1)  # hot bucket fanned out
