@@ -562,6 +562,17 @@ def q_media_metadata(spark, sf_dir):
     return attach_media(_t(spark, sf_dir, "documents")).drop("media")
 
 
+def q_media_resize(spark, sf_dir):
+    """Image-resize plumbing (mapInPandas, stubbed kernel): metadata of
+    the resized blobs — binary column dropped so the value-hash compares
+    engine-neutral metadata."""
+    from web3research_etl_spark.operators.multimodal import attach_media, resize_images
+
+    return resize_images(
+        attach_media(_t(spark, sf_dir, "documents")), width=8, height=6
+    ).drop("resized")
+
+
 def q_frame_sample(spark, sf_dir):
     from web3research_etl_spark.operators.multimodal import attach_media, frame_sample_plan
 
@@ -614,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_rates": q_events_windowed_rates,
         "clickers_minus_buyers": q_clickers_minus_buyers,
         "media_metadata": q_media_metadata,
+        "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "dispatch_fanout": q_dispatch_fanout,
         "hex_roundtrip": q_hex_roundtrip,
@@ -970,6 +982,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'image/fake' AS media_type,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                    md5(text) AS content_hash
+            FROM documents
+        """,
+        "media_resize": """
+            SELECT doc_id, 8 AS width, 6 AS height,
+                   CAST(least(octet_length(encode(text)), 8 * 6 * 3) AS INT)
+                     AS n_bytes_out
             FROM documents
         """,
         "frame_sample": """

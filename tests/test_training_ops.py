@@ -142,3 +142,17 @@ def test_ivf_topk_recall_and_prune(spark, emb):
     assert cells.count() > 1  # vectors actually spread across cells
     probed_rows = assigned.filter(F.col("cell").isin([c for c, _ in cents[:6]])).count()
     assert probed_rows < n  # the prune removes work
+
+
+def test_resize_images_plumbing(spark, docs):
+    from web3research_etl_spark.operators.multimodal import attach_media, resize_images
+
+    media = attach_media(docs.limit(30))
+    out = resize_images(media, width=8, height=6).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 6
+        assert r["n_bytes_out"] == len(r["resized"]) <= 8 * 6 * 3
+
+    with pytest.raises(Exception):  # stub surfaces NotImplementedError from workers
+        resize_images(media, 8, 6, deterministic_fake=False).collect()

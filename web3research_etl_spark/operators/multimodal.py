@@ -79,6 +79,42 @@ def extract_image_features(
     )
 
 
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, n_bytes_out int, resized binary"
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """mapInPandas resize plumbing: binary in → binary out with updated
+    metadata, batched through Arrow. Real deployment swaps the fake
+    kernel for PIL/libvips; the fake truncates the blob to the target
+    buffer size ``width*height*3`` (deterministic, size-correct), so the
+    Spark-side shape — blob in AND out of Python, schema, batching — is
+    exercised for real."""
+    target = width * height * 3
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resize requires an imaging library not present in "
+                    "this container; pass deterministic_fake=True for the "
+                    "test path"
+                )
+            blobs = [bytes(b)[:target] for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes_out": [len(b) for b in blobs],
+                    "resized": blobs,
+                }
+            )
+
+    return media.select("doc_id", "media").mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emit (doc_id, frame_no) rows for
     frames 0, n, 2n, ... where the fake frame count derives from blob
