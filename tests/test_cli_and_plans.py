@@ -41,6 +41,26 @@ def test_cli_init_then_check(tmp_path):
     rec = json.loads(out.strip().splitlines()[0])["reconcile"]
     assert set(rec) == {"ok"}
 
+    # replay-convergence pass (north rule): fresh rebuild content-hash
+    # equals the live table
+    out = _run_cli(
+        "replay", "--source", f"{tmp_path}/ch", "--table", f"{tmp_path}/pages",
+        "--ledger", f"{tmp_path}/ledger", "--apply-tail",
+    )
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["converged"] and rep["live"] == rep["replayed"]
+
+    # divergent source → non-zero exit, converged false
+    _run_cli("gen", "--out", f"{tmp_path}/ch2", "--events", "4000")
+    proc = subprocess.run(
+        [sys.executable, "-m", "web3research_etl_spark.cli", "replay",
+         "--source", f"{tmp_path}/ch2", "--table", f"{tmp_path}/pages"],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 2, proc.stderr[-2000:]
+    assert not json.loads(proc.stdout.strip().splitlines()[-1])["converged"]
+
 
 # ---------------------------------------------------------------------------
 # plan-quality gates

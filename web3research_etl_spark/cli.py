@@ -49,6 +49,19 @@ def build_parser() -> argparse.ArgumentParser:
     check.add_argument("--heal", action="store_true")
     check.add_argument("--epoch", type=int, default=None, help="heal epoch id")
 
+    replay = subs.add_parser(
+        "replay",
+        help="replay-convergence pass: rebuild from the changelog and "
+        "content-hash compare against the live table",
+    )
+    _common(replay)
+    replay.add_argument(
+        "--apply-tail",
+        action="store_true",
+        help="first apply events past the ledger's resume offsets to the "
+        "live table (resume-from-checkpoint), then compare",
+    )
+
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
     gen.add_argument("--out", required=True)
     gen.add_argument("--events", type=int, required=True)
@@ -125,6 +138,64 @@ def main(argv: list[str] | None = None) -> int:
         else:
             q.awaitTermination()
         return 0
+
+    if args.cmd == "replay":
+        # The reference's `check` walks block-by-block
+        # (/root/reference/src/ch_eth/check.rs:61-63); this is the
+        # set-based equivalent with the north rule's convergence check:
+        # a fresh rebuild from the changelog must content-hash equal the
+        # live table produced by any schedule of epochs.
+        import shutil
+        import tempfile
+
+        from web3research_etl_spark.ledger import resume_offsets
+        from web3research_etl_spark.operators.apply import apply_changelog_batch
+
+        changelog = spark.read.parquet(args.source)
+        if args.apply_tail and ledger is not None:
+            offsets = resume_offsets(ledger)
+            tail = None
+            for part, off in offsets.items():
+                cond = (F.col("source_partition") == part) & (F.col("event_seq") > off)
+                tail = cond if tail is None else (tail | cond)
+            if tail is not None:
+                seen = F.col("source_partition").isin(list(offsets))
+                tail_df = changelog.filter(tail | ~seen)
+                apply_changelog_batch(
+                    table,
+                    tail_df,
+                    epoch_id=f"replay-tail-{table.current_snapshot()['snapshot_id']}",
+                    ledger=ledger,
+                    registry=registry,
+                )
+        scratch_dir = tempfile.mkdtemp(prefix="w3r_replay_")
+        try:
+            from web3research_etl_spark.lake.table import LakeTable
+            from web3research_etl_spark.schemas import (
+                PAGES_KEY,
+                PAGES_SCHEMA,
+                PAGES_VERSION_ORDER,
+            )
+
+            scratch = LakeTable.create(
+                spark,
+                f"{scratch_dir}/pages",
+                PAGES_SCHEMA,
+                key=PAGES_KEY,
+                version_order=PAGES_VERSION_ORDER,
+                n_buckets=table.current_snapshot()["n_buckets"],
+            )
+            apply_changelog_batch(scratch, changelog, epoch_id=0, registry=registry)
+            live_hash, replay_hash = table.state_hash(), scratch.state_hash()
+        finally:
+            shutil.rmtree(scratch_dir, ignore_errors=True)
+        converged = live_hash == replay_hash
+        print(
+            json.dumps(
+                {"live": live_hash, "replayed": replay_hash, "converged": converged}
+            )
+        )
+        return 0 if converged else 2
 
     if args.cmd == "check":
         from web3research_etl_spark.operators.reconcile import (
