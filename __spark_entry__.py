@@ -316,6 +316,32 @@ def q_rollup_sales(spark, sf_dir):
     )
 
 
+def q_event_value_percentiles(spark, sf_dir):
+    """Exact percentiles (order statistics with linear interpolation —
+    Spark `percentile` ≡ DuckDB `quantile_cont`) per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_grouping_sets_sales(spark, sf_dir):
+    """Arbitrary GROUPING SETS (beyond rollup/cube) via the SQL API —
+    one-dimension marginals in a single pass."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 def q_cube_sales(spark, sf_dir):
     """CUBE aggregation (all grouping-set combinations — SURVEY §2.4:
     free in Spark, absent in the reference)."""
@@ -606,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "rollup_sales": q_rollup_sales,
         "cube_sales": q_cube_sales,
+        "grouping_sets_sales": q_grouping_sets_sales,
+        "event_value_percentiles": q_event_value_percentiles,
         "events_running_30min": q_events_running_30min,
         "customers_without_orders": q_customers_without_orders,
         "parts_by_brand_broadcast": q_parts_by_brand_broadcast,
@@ -813,6 +841,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS linestatus,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_sales": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "event_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "cube_sales": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -105,3 +105,22 @@ def test_running_key_state_accumulates_across_batches(spark, ch_dir):
         == 0
     )
     assert last.filter(F.col("batches_seen") > 1).count() > 0
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark, ch_dir):
+    from web3research_etl_spark.streaming.stateful import dedup_within_watermark
+
+    s = dedup_within_watermark(
+        _stream(spark, ch_dir), watermark="365 days"
+    ).select("url", "warc_ts", "event_seq")
+    _drain(s, "dedup_wm", "append")
+    got = spark.table("dedup_wm").count()
+    want = (
+        spark.read.parquet(ch_dir)
+        .select("url", "warc_ts", "event_seq")
+        .distinct()
+        .count()
+    )
+    total = spark.read.parquet(ch_dir).count()
+    assert total > want  # the generator really did emit duplicates
+    assert got == want  # removed across micro-batch boundaries

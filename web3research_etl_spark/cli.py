@@ -25,7 +25,13 @@ def _common(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("--table", required=True, help="lake table root dir")
     sub.add_argument("--source", required=True, help="changelog parquet dir")
     sub.add_argument("--ledger", default=None, help="lineage ledger dir")
-    sub.add_argument("--salt-partitions", type=int, default=None)
+    sub.add_argument(
+        "--salt-partitions",
+        default=None,
+        type=lambda v: v if v == "auto" else int(v),
+        help="write-side skew salt: an int, or 'auto' to measure the "
+        "batch's bucket histogram per epoch",
+    )
     sub.add_argument("--no-registry", action="store_true")
 
 

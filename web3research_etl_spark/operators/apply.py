@@ -44,11 +44,23 @@ def apply_changelog_batch(
     epoch_id: int,
     ledger: LakeTable | None = None,
     registry: DataFrame | None = None,
-    salt_partitions: int | None = None,
+    salt_partitions: int | str | None = None,
 ) -> dict:
-    """Apply one micro-batch exactly-once. Returns merge stats."""
+    """Apply one micro-batch exactly-once. Returns merge stats.
+
+    ``salt_partitions="auto"`` measures the batch's bucket histogram and
+    salts the write shuffle only when a hot domain actually skews it
+    (operators/skew.py)."""
     if epoch_id in table.committed_epochs():
         return {"skipped": True, "epoch_id": epoch_id}
+
+    if salt_partitions == "auto":
+        from web3research_etl_spark.operators.skew import choose_salt_partitions
+
+        snap = table.current_snapshot()
+        salt_partitions = choose_salt_partitions(
+            batch, snap["key"], snap["n_buckets"]
+        )
 
     extra_cols: list[str] = []
     if registry is not None:

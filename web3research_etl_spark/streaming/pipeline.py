@@ -47,7 +47,7 @@ def run_sync(
     checkpoint_dir: str,
     ledger: LakeTable | None = None,
     registry: DataFrame | None = None,
-    salt_partitions: int | None = None,
+    salt_partitions: int | str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     processing_time: str = "5 seconds",

@@ -104,3 +104,21 @@ def running_key_state(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("url", "warc_ts", "event_seq"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup for at-least-once sources:
+    ``dropDuplicatesWithinWatermark`` removes re-delivered events whose
+    duplicate arrives within the watermark horizon, ACROSS micro-batch
+    boundaries, while keeping dedup state bounded (plain
+    ``dropDuplicates`` state grows forever — unusable at 10^10 events).
+    The merge's LWW apply remains the idempotency backstop for
+    duplicates that straddle a horizon longer than this, so correctness
+    never depends on the horizon choice — only shuffle volume does."""
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
