@@ -316,6 +316,16 @@ def q_rollup_sales(spark, sf_dir):
     )
 
 
+def q_distinct_users_per_type(spark, sf_dir):
+    """Distinct aggregation (SURVEY §2.4 notes the reference has none;
+    Spark plans it as two-phase partial-distinct before the shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_event_value_percentiles(spark, sf_dir):
     """Exact percentiles (order statistics with linear interpolation —
     Spark `percentile` ≡ DuckDB `quantile_cont`) per event type."""
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_sales": q_cube_sales,
         "grouping_sets_sales": q_grouping_sets_sales,
         "event_value_percentiles": q_event_value_percentiles,
+        "distinct_users_per_type": q_distinct_users_per_type,
         "events_running_30min": q_events_running_30min,
         "customers_without_orders": q_customers_without_orders,
         "parts_by_brand_broadcast": q_parts_by_brand_broadcast,
@@ -848,6 +859,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "event_value_percentiles": """
             SELECT event_type,

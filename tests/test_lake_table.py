@@ -213,3 +213,25 @@ def test_salted_merge_same_state_more_hot_bucket_files(spark, tmp_table_dir):
     plain_f, salt_f = files_per_bucket(t_plain), files_per_bucket(t_salt)
     hot = max(salt_f, key=lambda b: salt_f[b])
     assert salt_f[hot] > plain_f.get(hot, 1)  # hot bucket fanned out
+
+
+def test_empty_and_delete_only_batches(spark, tmp_table_dir):
+    """Degenerate micro-batches must commit cleanly: an empty batch
+    (quiet source poll) and a delete-only batch (mass retraction)."""
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "u1", 100, 1, "a"), ("I", "u2", 100, 2, "b")]), epoch_id=0)
+
+    empty = _batch(spark, []).limit(0)
+    r = t.merge_changelog(empty, epoch_id=1)
+    # quiet epoch: no-op skip, no snapshot churn; re-delivery of an
+    # empty batch is trivially idempotent so no marker is needed
+    assert r.get("skipped")
+    assert t.read().count() == 2
+    assert t.current_snapshot()["snapshot_id"] == r["snapshot_id"]
+
+    r = t.merge_changelog(
+        _batch(spark, [("D", "u1", 200, 3, None), ("D", "u2", 200, 4, None)]),
+        epoch_id=2,
+    )
+    assert not r.get("skipped")
+    assert t.read().count() == 0
