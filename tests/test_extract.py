@@ -71,3 +71,33 @@ def test_lang_detect(spark):
 
 def test_lang_regexes_compiled():
     assert set(_LANG_RES) == {"en", "de", "fr", "es", "it", "pt", "nl", "zh"}
+
+
+def test_udf_kernel_matches_reference_on_adversarial_bytes():
+    """Property check (hypothesis): the pandas batch path and the
+    single-value reference path are byte-identical for ARBITRARY input
+    bytes — not just the golden fixtures. Generates tag soup, truncated
+    entities, invalid UTF-8, and raw unicode whitespace."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web3research_etl_spark.functions.extract import extract_text_udf
+
+    kernel = extract_text_udf.func  # the pandas function under the udf wrapper
+
+    fragments = st.sampled_from(
+        [b"<p>", b"</p>", b"<script>", b"</script >", b"<style>x{}</style>",
+         b"<!--", b"-->", b"<div class='a", b">", b"<", b"&amp;", b"&nbsp;",
+         b"&lt", b";", b"text", b" ", b"\t", b"\n", b"\r\n", b"\xc3\xa9",
+         b"\xff", b"\xc2\xa0", b"<br/>", b"<TABLE>", b"</ li>", b"\x0b\x0c"]
+    )
+    soup = st.lists(fragments, min_size=0, max_size=30).map(b"".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(soup, min_size=1, max_size=8))
+    def run(batch):
+        got = kernel(pd.Series(batch, dtype=object)).tolist()
+        want = [extract_text_bytes(b) for b in batch]
+        assert got == want
+
+    run()
