@@ -316,6 +316,42 @@ def q_rollup_sales(spark, sf_dir):
     )
 
 
+def _messy_urls(ev):
+    """Deterministic messy-URL fixture derived from events (upper-case
+    scheme/host, default ports, fragments) — same construction in the
+    oracle SQL."""
+    return F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("HTTPS://Site-")).otherwise(
+            F.lit("https://site-")
+        ),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/p"),
+        (F.col("event_id") % 97).cast("string"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("#frag"), (F.col("event_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical_domains(spark, sf_dir):
+    """URL canonicalization + per-domain rollup (Common-Crawl dedup
+    prep; operators/text.py:canonical_url — portable anchored regexes,
+    no backreferences, so the identical pipeline runs in DuckDB)."""
+    from web3research_etl_spark.operators.text import canonical_url, url_domain
+
+    ev = _t(spark, sf_dir, "events")
+    canon = canonical_url(_messy_urls(ev))
+    return (
+        ev.select(canon.alias("url"))
+        .select("url", url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n"), F.countDistinct("url").alias("n_urls"))
+    )
+
+
 def q_distinct_users_per_type(spark, sf_dir):
     """Distinct aggregation (SURVEY §2.4 notes the reference has none;
     Spark plans it as two-phase partial-distinct before the shuffle)."""
@@ -645,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_sales": q_grouping_sets_sales,
         "event_value_percentiles": q_event_value_percentiles,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "url_canonical_domains": q_url_canonical_domains,
         "events_running_30min": q_events_running_30min,
         "customers_without_orders": q_customers_without_orders,
         "parts_by_brand_broadcast": q_parts_by_brand_broadcast,
@@ -859,6 +896,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "url_canonical_domains": """
+            WITH m AS (
+              SELECT (CASE WHEN event_id % 2 = 0 THEN 'HTTPS://Site-'
+                           ELSE 'https://site-' END)
+                     || CAST(user_id % 20 AS VARCHAR) || '.Example.COM'
+                     || (CASE WHEN event_id % 3 = 0 THEN ':443' ELSE '' END)
+                     || '/Path/p' || CAST(event_id % 97 AS VARCHAR)
+                     || (CASE WHEN event_id % 5 = 0
+                         THEN '#frag' || CAST(event_id % 7 AS VARCHAR)
+                         ELSE '' END) AS u
+              FROM events),
+            c1 AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM m),
+            c2 AS (SELECT CASE
+                     WHEN regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) = ''
+                       THEN u
+                     ELSE lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1))
+                          || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')
+                   END AS u FROM c1),
+            c3 AS (SELECT CASE
+                     WHEN regexp_extract(u, '^https://([^/:]*):443(/|$)', 1) <> ''
+                       THEN 'https://' || regexp_extract(u, '^https://([^/:]*):443(/|$)', 1)
+                            || regexp_replace(u, '^https://[^/:]*:443', '')
+                     ELSE u END AS u FROM c2),
+            c4 AS (SELECT CASE
+                     WHEN regexp_extract(u, '^http://([^/:]*):80(/|$)', 1) <> ''
+                       THEN 'http://' || regexp_extract(u, '^http://([^/:]*):80(/|$)', 1)
+                            || regexp_replace(u, '^http://[^/:]*:80', '')
+                     ELSE u END AS u FROM c3)
+            SELECT regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/:]*)', 1) AS domain,
+                   count(*) AS n, count(DISTINCT u) AS n_urls
+            FROM c4 GROUP BY domain
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -156,3 +156,35 @@ def test_resize_images_plumbing(spark, docs):
 
     with pytest.raises(Exception):  # stub surfaces NotImplementedError from workers
         resize_images(media, 8, 6, deterministic_fake=False).collect()
+
+
+def test_canonical_url_cases_and_idempotency(spark):
+    from web3research_etl_spark.operators.text import canonical_url, url_domain
+
+    cases = [
+        ("HTTPS://A.Example.COM:443/Path#x", "https://a.example.com/Path"),
+        ("http://b.example.com:80/", "http://b.example.com/"),
+        ("http://b.example.com:80", "http://b.example.com"),
+        ("https://c.example.com:8443/x", "https://c.example.com:8443/x"),
+        ("ftp://Mixed.Case/KeepPath", "ftp://mixed.case/KeepPath"),
+        ("no-scheme/path#frag", "no-scheme/path"),
+        ("https://d.example.com/p#a#b", "https://d.example.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # idempotent: canonical(canonical(u)) == canonical(u)
+    twice = [
+        r["c2"]
+        for r in df.select(
+            canonical_url(canonical_url(F.col("u"))).alias("c2")
+        ).collect()
+    ]
+    assert twice == got
+    doms = [
+        r["d"]
+        for r in df.select(
+            url_domain(canonical_url(F.col("u"))).alias("d")
+        ).collect()
+    ]
+    assert doms[0] == "a.example.com" and doms[5] == ""

@@ -113,3 +113,30 @@ def shingle_array(text: Column, k: int = 12) -> Column:
     s = F.regexp_replace(F.lower(text), r"\s+", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
+
+
+def canonical_url(url: Column) -> Column:
+    """Deterministic URL canonicalization (Common-Crawl dedup prep):
+    strip the #fragment, lowercase scheme+authority (path case kept —
+    it is significant), drop default :80/:443 ports. Engine-portable:
+    only literal/anchored regexes, no backreferences, so the identical
+    expressions run in DuckDB for the oracle."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    joined = F.when(head == "", u).otherwise(F.concat(head, tail))
+    # default-port strip without replacement backreferences (DuckDB's
+    # RE2 uses \1 where Java uses $1 — extract+rebuild sidesteps both)
+    for scheme, port in (("https", "443"), ("http", "80")):
+        pat = rf"^{scheme}://([^/:]*):{port}(/|$)"
+        host = F.regexp_extract(joined, pat, 1)
+        rest = F.regexp_replace(joined, rf"^{scheme}://[^/:]*:{port}", "")
+        joined = F.when(
+            host != "", F.concat(F.lit(f"{scheme}://"), host, rest)
+        ).otherwise(joined)
+    return joined
+
+
+def url_domain(url: Column) -> Column:
+    """Registered host of a canonical URL ('' when schemeless)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:]*)", 1)
