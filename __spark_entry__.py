@@ -117,6 +117,53 @@ def q_cdc_lww_agg(spark, sf_dir):
     )
 
 
+def q_cdc_merge_state(spark, sf_dir):
+    """The engine's MERGE itself under the oracle gate: apply the
+    events-derived changelog through a REAL lake table (bucketed CoW
+    merge, fused LWW, tombstones, epoch marker) and read back the
+    converged state — must equal the pure-SQL LWW oracle. This is the
+    ReplacingMergeTree-parity proof as a driver query, not only a
+    pytest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from web3research_etl_spark.lake.table import LakeTable
+
+    ch = _events_changelog(spark, sf_dir).select(
+        "op", "url", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="drv_merge_")
+    try:
+        t = LakeTable.create(
+            spark, f"{d}/t", schema,
+            key=["url"], version_order=["ts", "event_id"], n_buckets=8,
+        )
+        t.merge_changelog(ch, epoch_id=0)
+        out = t.read().select(
+            "url",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        # materialize before the temp dir is removed
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_cdc_tombstones(spark, sf_dir):
     """Keys whose LWW winner is a delete — the tombstone set."""
     ch = _events_changelog(spark, sf_dir)
@@ -665,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_converged": q_cdc_lww_converged,
         "cdc_lww_agg": q_cdc_lww_agg,
+        "cdc_merge_state": q_cdc_merge_state,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -780,6 +828,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_lww_agg": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, event_type AS last_event_type,
+                   round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_merge_state": f"""
             {lww}
             SELECT url, event_id AS last_event_id, event_type AS last_event_type,
                    round(value, 2) AS last_value
