@@ -238,8 +238,15 @@ def main() -> None:
         # the least-contended estimate of that epoch's true cost;
         # composing those per-epoch minima estimates the uncontended
         # run. Identical treatment at both levels.
-        runs_small = [bench_cdc_subprocess(small, gen_dir, CDC_EVENTS) for _ in range(REPEATS)]
-        runs_big = [bench_cdc_subprocess(big, gen_dir, CDC_EVENTS) for _ in range(REPEATS)]
+        # INTERLEAVED repeats (s,b,s,b,...): noisy-neighbor bursts last
+        # minutes — running all of one level back-to-back lets a single
+        # burst poison every repeat of that level (observed: a run where
+        # the 4-core block was halved while 1-core matched history).
+        # Alternation gives both levels the same exposure to any burst.
+        runs_small, runs_big = [], []
+        for _ in range(REPEATS):
+            runs_small.append(bench_cdc_subprocess(small, gen_dir, CDC_EVENTS))
+            runs_big.append(bench_cdc_subprocess(big, gen_dir, CDC_EVENTS))
         r_small = _compose_min_epochs(runs_small, CDC_EVENTS)
         r_big = _compose_min_epochs(runs_big, CDC_EVENTS)
         eff = (
