@@ -873,11 +873,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_presence_probe": """
             SELECT user_id,
-                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
         """,
         "cdc_point_lookup": """
@@ -886,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -898,7 +898,7 @@ def oracle_sql() -> dict[str, str]:
                           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                           THEN 1 ELSE 0 END AS ns
               FROM events)
-            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "events_asof_join": """
@@ -913,7 +913,7 @@ def oracle_sql() -> dict[str, str]:
             FROM x WHERE event_type = 'purchase'
         """,
         "topk_per_user": """
-            SELECT user_id, rk, event_id, round(value, 2) AS value FROM (
+            SELECT user_id, CAST(rk AS INTEGER) AS rk, event_id, round(value, 2) AS value FROM (
               SELECT user_id, event_id, value,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rk
@@ -1021,13 +1021,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": r"""
             SELECT doc_id,
-                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
-                   length(text) AS n_chars_actual
+                   CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_actual
             FROM documents
         """,
         "doc_quality": r"""
             SELECT doc_id,
-                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
                    round(len(regexp_extract_all(text, '[.,;:!?]'))
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(regexp_extract_all(text, '[0-9]'))
