@@ -81,7 +81,7 @@ def test_reconcile_statuses(spark, tmp_table_dir, ch_dir):
         F.lit("U").alias("op"), "url", "warc_ts",
         (F.col("event_seq") + 10_000).alias("event_seq"), "html", "text", "lang",
     )
-    t.merge_changelog(fake, epoch_id="corrupt-div")
+    t.merge_changelog(fake, epoch_id=9001)
     del_batch = t.read().filter(F.col("url").isin(missing_urls)).select(
         F.lit("D").alias("op"), "url", "warc_ts",
         (F.col("event_seq") + 10_000).alias("event_seq"),
@@ -89,7 +89,7 @@ def test_reconcile_statuses(spark, tmp_table_dir, ch_dir):
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
-    t.merge_changelog(del_batch, epoch_id="corrupt-del")
+    t.merge_changelog(del_batch, epoch_id=9002)
 
     rep2 = reconcile(t.read(), expected_state(ch))
     bad = {r["url"]: r["status"] for r in rep2.filter(F.col("status") != "ok").collect()}
@@ -98,7 +98,7 @@ def test_reconcile_statuses(spark, tmp_table_dir, ch_dir):
     assert all(bad[u] == "missing" for u in missing_urls)
 
     # heal converges back to oracle state
-    heal(t, ch, epoch_id="heal-1")
+    heal(t, ch, epoch_id=9003)
     rep3 = reconcile(t.read(), expected_state(ch))
     assert rep3.filter(F.col("status") != "ok").count() == 0
 
@@ -115,9 +115,9 @@ def test_heal_removes_orphans(spark, tmp_table_dir, ch_dir):
         "event_seq", F.lit(b"<p>ghost</p>").alias("html"),
         F.lit("ghost").alias("text"), F.lit("en").alias("lang"),
     )
-    t.merge_changelog(ghost, epoch_id="ghost")
+    t.merge_changelog(ghost, epoch_id=9004)
     rep = reconcile(t.read(), expected_state(ch))
     assert rep.filter(F.col("status") == "orphan").count() == 1
-    heal(t, ch, epoch_id="heal-orphan")
+    heal(t, ch, epoch_id=9005)
     assert t.read().filter(F.col("url") == "https://ghost.example.com/x").count() == 0
     assert reconcile(t.read(), expected_state(ch)).filter(F.col("status") != "ok").count() == 0

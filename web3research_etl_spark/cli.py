@@ -158,22 +158,37 @@ def main(argv: list[str] | None = None) -> int:
         from web3research_etl_spark.operators.apply import apply_changelog_batch
 
         changelog = spark.read.parquet(args.source)
-        if args.apply_tail and ledger is not None:
+        if args.apply_tail:
+            if ledger is None:
+                print(
+                    "error: --apply-tail requires --ledger (no resume offsets "
+                    "without a lineage ledger)",
+                    file=sys.stderr,
+                )
+                return 2
             offsets = resume_offsets(ledger)
-            tail = None
-            for part, off in offsets.items():
-                cond = (F.col("source_partition") == part) & (F.col("event_seq") > off)
-                tail = cond if tail is None else (tail | cond)
-            if tail is not None:
+            if not offsets:
+                # Empty ledger: the whole changelog is the tail.
+                print(
+                    "warning: ledger has no offsets; treating the entire "
+                    "changelog as the tail",
+                    file=sys.stderr,
+                )
+                tail_df = changelog
+            else:
+                tail = None
+                for part, off in offsets.items():
+                    cond = (F.col("source_partition") == part) & (F.col("event_seq") > off)
+                    tail = cond if tail is None else (tail | cond)
                 seen = F.col("source_partition").isin(list(offsets))
                 tail_df = changelog.filter(tail | ~seen)
-                apply_changelog_batch(
-                    table,
-                    tail_df,
-                    epoch_id=f"replay-tail-{table.current_snapshot()['snapshot_id']}",
-                    ledger=ledger,
-                    registry=registry,
-                )
+            apply_changelog_batch(
+                table,
+                tail_df,
+                epoch_id=table.synthetic_epoch_id("replay-tail"),
+                ledger=ledger,
+                registry=registry,
+            )
         scratch_dir = tempfile.mkdtemp(prefix="w3r_replay_")
         try:
             from web3research_etl_spark.lake.table import LakeTable
@@ -218,7 +233,7 @@ def main(argv: list[str] | None = None) -> int:
         }
         print(json.dumps({"reconcile": counts}))
         if args.heal and any(k != "ok" for k in counts):
-            epoch = args.epoch if args.epoch is not None else f"heal-{table.current_snapshot()['snapshot_id']}"
+            epoch = args.epoch if args.epoch is not None else table.synthetic_epoch_id("heal")
             res = heal(table, changelog, epoch_id=epoch)
             after = reconcile(table.read(), expected_state(changelog))
             after_counts = {

@@ -59,6 +59,18 @@ def _parse_type(ddl: str) -> T.DataType:
         return _parse_datatype_string(ddl)
 
 
+def _check_epoch_id(epoch_id: Any) -> None:
+    """Epoch ids flow into the ledger's LongType column and into
+    committed_epochs (sorted at startup); a single non-int epoch poisons
+    the ledger parquet type for every later read. Reject early."""
+    if epoch_id is not None and (isinstance(epoch_id, bool) or not isinstance(epoch_id, int)):
+        raise TypeError(
+            f"epoch_id must be an int or None, got {type(epoch_id).__name__}: "
+            f"{epoch_id!r} (use LakeTable.synthetic_epoch_id() for "
+            "out-of-band applies)"
+        )
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -168,6 +180,22 @@ class LakeTable:
     def committed_epochs(self, snap: dict | None = None) -> set:
         snap = snap or self.current_snapshot()
         return set(snap["summary"].get("committed_epochs", []))
+
+    def synthetic_epoch_id(self, kind: str = "heal") -> int:
+        """Integer epoch for out-of-band applies (heal, replay-tail).
+
+        Epoch ids MUST stay integers end-to-end: they land in the
+        ledger's LongType epoch_id column and in committed_epochs, so a
+        single string epoch poisons the ledger parquet type (every later
+        resume_offsets read fails) and breaks sorted() over epochs.
+        Derivation is current snapshot id + a per-kind high base —
+        distinct from streaming epochs, monotone across invocations, and
+        stable across a crash-retry of the same apply (idempotent skip).
+        """
+        bases = {"heal": 1 << 40, "replay-tail": 1 << 41}
+        if kind not in bases:
+            raise ValueError(f"unknown synthetic epoch kind: {kind!r}")
+        return bases[kind] + self.current_snapshot()["snapshot_id"]
 
     # --------------------------------------------------------------- schema
     def schema(self, snap: dict | None = None) -> T.StructType:
@@ -331,6 +359,7 @@ class LakeTable:
 
     def append(self, df: DataFrame, epoch_id: Any = None, summary_extra: dict | None = None) -> int:
         """Blind append (no dedup) — the ledger/changelog path."""
+        _check_epoch_id(epoch_id)
         snap = self.current_snapshot()
         if epoch_id is not None and epoch_id in self.committed_epochs(snap):
             return snap["snapshot_id"]
@@ -388,6 +417,7 @@ class LakeTable:
         ``winner_join``: phase-2 retrieval strategy, see
         operators/lww.lww_dedup_agg.
         """
+        _check_epoch_id(epoch_id)
         snap = self.current_snapshot()
         if epoch_id is not None and epoch_id in self.committed_epochs(snap):
             return {

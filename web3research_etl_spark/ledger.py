@@ -29,8 +29,14 @@ def ledger_rows_for_batch(
     batch: DataFrame, epoch_id: int, committed_at_snapshot: int
 ) -> DataFrame:
     """One aggregation over the micro-batch → one ledger row per source
-    partition. Map-side combine keeps this a cheap pass."""
-    return batch.groupBy("source_partition").agg(
+    partition. Map-side combine keeps this a cheap pass.
+
+    Rows are cast to LEDGER_SCHEMA column-by-column before they leave
+    here: the ledger is append-only parquet, so one wrongly-typed column
+    (e.g. a string epoch_id) poisons every later read with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Belt-and-braces with the int
+    check in LakeTable._check_epoch_id."""
+    agg = batch.groupBy("source_partition").agg(
         F.lit(epoch_id).alias("epoch_id"),
         F.max("event_seq").alias("max_event_seq"),
         F.max("warc_ts").alias("watermark_ts"),
@@ -38,7 +44,10 @@ def ledger_rows_for_batch(
         F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
         F.lit(committed_at_snapshot).alias("committed_at_snapshot"),
-    ).select([f.name for f in LEDGER_SCHEMA.fields])
+    )
+    return agg.select(
+        [F.col(f.name).cast(f.dataType).alias(f.name) for f in LEDGER_SCHEMA.fields]
+    )
 
 
 def resume_offsets(ledger: LakeTable) -> dict[int, int]:
