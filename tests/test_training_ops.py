@@ -188,3 +188,161 @@ def test_canonical_url_cases_and_idempotency(spark):
         ).collect()
     ]
     assert doms[0] == "a.example.com" and doms[5] == ""
+
+
+# ---------------------------------------------------------------------------
+# blocked exact embedding near-dup (VERDICT r01: no cartesian at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_near_dups_match_brute(spark, emb):
+    """The blocked all-pairs path must return EXACTLY the brute-force
+    result (same pairs, same rounded cosines) — it is a physical
+    re-plan, not an approximation."""
+    from web3research_etl_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_brute,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(emb, threshold=0.2, n_blocks=8).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_brute(emb, threshold=0.2).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_blocked_near_dups_plan_has_no_nested_loop(spark, emb):
+    """Scale gate: the blocked plan must contain no
+    BroadcastNestedLoopJoin/CartesianProduct — the quadratic work must
+    arrive as equi-join tasks on the block-pair key."""
+    from web3research_etl_spark.operators.dedup import embedding_near_dups
+
+    plan = (
+        embedding_near_dups(emb, threshold=0.2, n_blocks=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_near_dups_full_recall_on_planted(spark):
+    """High-threshold LSH near-dup: plant clusters of near-identical
+    vectors among noise; the banded-LSH path must recover every
+    brute-force pair at cosine >= 0.99 (expected misses ~5e-5/pair)."""
+    import math
+
+    from web3research_etl_spark.operators.dedup import (
+        embedding_near_dups_brute,
+        embedding_near_dups_lsh,
+    )
+
+    dim = 16
+    rows = []
+    # 10 clusters x 4 members: base vector + tiny deterministic tweak
+    for c in range(10):
+        base = [math.sin(0.7 * c * (d + 1)) + 1.5 for d in range(dim)]
+        for m in range(4):
+            vec = [v * (1.0 + 0.0005 * m * ((d % 3) - 1)) for d, v in enumerate(base)]
+            rows.append((c * 4 + m, [float(x) for x in vec]))
+    # 60 noise vectors, deterministic pseudo-random directions
+    for i in range(60):
+        vec = [math.sin(1.3 * (i + 41) * (d + 7)) for d in range(dim)]
+        rows.append((1000 + i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_brute(df, threshold=0.99).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(
+            df, dim=dim, threshold=0.99, n_bands=8, planes_per_band=8
+        ).collect()
+    }
+    assert want  # the plant worked: clusters produce pairs
+    assert got == want  # full recall + no false positives after re-rank
+
+
+def test_ivf_assign_array_matches_literal(spark, emb):
+    """The array-fold assign must agree with the literal-expression
+    assign on every row (same codebook), and must survive a 256-entry
+    codebook without codegen failure."""
+    from web3research_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_array,
+        ivf_centroids,
+    )
+
+    cents = [
+        (r["centroid_id"], [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(emb, 16).collect()
+    ]
+    lit = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    arr = {r["vec_id"]: r["cell"] for r in ivf_assign_array(emb, cents).collect()}
+    assert lit == arr
+
+    # large codebook: 256 centroids (first 256 vectors) — literal path
+    # would push codegen past JIT limits; array path must just work
+    big = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 256).collect()
+    ]
+    n = ivf_assign_array(emb, big).filter(F.col("cell") >= 0).count()
+    assert n == emb.count()
+
+
+def test_kmeans_centroids_improve_quantization(spark, emb):
+    """k-means codebook: mean best-cosine over the corpus must not be
+    worse than the first-N codebook it was initialized from."""
+    from web3research_etl_spark.operators.dedup import cosine_expr
+    from web3research_etl_spark.operators.similarity import (
+        ivf_assign_array,
+        ivf_centroids,
+        kmeans_centroids,
+    )
+
+    first_n = [
+        (r["centroid_id"], [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(emb, 8).collect()
+    ]
+    trained = kmeans_centroids(emb, dim=64, n_centroids=8, n_iters=3)
+
+    def mean_best(cents):
+        best = None
+        for _, vec in cents:
+            c = F.array(*[F.lit(float(x)) for x in vec])
+            s = F.nanvl(cosine_expr(F.col("embedding"), c), F.lit(-2.0))
+            best = s if best is None else F.greatest(best, s)
+        return emb.select(F.avg(best).alias("m")).collect()[0]["m"]
+
+    assert mean_best(trained) >= mean_best(first_n) - 1e-9
+
+
+def test_zero_norm_embedding_handled(spark):
+    """Degenerate zero vectors must not hijack top-k or IVF assignment
+    (ADVICE r01: NaN ranks above every real score in Spark)."""
+    from web3research_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = [r["vec_id"] for r in brute_force_topk(df, [1.0, 0.0], k=2).collect()]
+    assert 2 not in top and top[0] == 0
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    assert cells[2] == 0  # deterministic lowest-id fallback, not NaN roulette
+
+    # query path survives a zero-norm row in the corpus
+    got = [r["vec_id"] for r in ivf_topk(df, [1.0, 0.0], n_centroids=2, n_probe=2, k=3).collect()]
+    assert got[0] == 0 and 2 == got[-1] or 2 not in got

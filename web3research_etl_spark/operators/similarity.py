@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 from web3research_etl_spark.operators.dedup import cosine_expr
 
 
+def cosine_guarded(a, b):
+    """cosine_expr with degenerate inputs made well-defined: a zero-norm
+    vector (or centroid) makes the denominator 0 — under ANSI mode
+    (Spark 4 default) the division THROWS, and with ANSI off it yields
+    NaN, which ranks ABOVE every real double in orderBy/greatest, so a
+    zero vector would win every top-k and grab every IVF assignment.
+    try_divide + coalesce pins such rows to -2.0, strictly below the
+    cosine range; non-degenerate values are bit-identical to
+    cosine_expr."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.coalesce(F.nanvl(F.try_divide(dot, na * nb), F.lit(-2.0)), F.lit(-2.0))
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10
 ) -> DataFrame:
@@ -28,21 +47,22 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = embeddings.select(
         "vec_id",
-        F.round(cosine_expr(F.col("embedding"), q), 6).alias("cosine"),
+        F.round(cosine_guarded(F.col("embedding"), q), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
-def hyperplane_signature(emb_col, dim: int, n_planes: int = 8):
+def hyperplane_signature(emb_col, dim: int, n_planes: int = 8, salt: str = ""):
     """Sign-of-dot-product signature against n_planes deterministic
     pseudo-random hyperplanes. Plane p component d = a zero-centered
-    value derived from md5_int60(p:d) — fixed at plan build, no RNG."""
+    value derived from md5_int60(salt + p:d) — fixed at plan build, no
+    RNG. ``salt`` derives independent plane families (LSH bands)."""
     from web3research_etl_spark.operators.text import md5_int60
 
     sig = F.lit(0).cast("bigint")
     for p in range(n_planes):
         comps = [
-            (md5_int60(F.lit(f"{p}:{d}")) % F.lit(2001) - F.lit(1000)).cast("double")
+            (md5_int60(F.lit(f"{salt}{p}:{d}")) % F.lit(2001) - F.lit(1000)).cast("double")
             for d in range(dim)
         ]
         dot = sum(
@@ -76,11 +96,86 @@ def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]]) 
     for cid, vec in centroids:
         c = F.array(*[F.lit(float(x)) for x in vec])
         cand = F.struct(
-            cosine_expr(F.col("embedding"), c).alias("score"),
+            cosine_guarded(F.col("embedding"), c).alias("score"),
             F.lit(-int(cid)).alias("neg_id"),
         )
         best = cand if best is None else F.greatest(best, cand)
     return embeddings.withColumn("cell", (-best["neg_id"]).cast("int"))
+
+
+def ivf_assign_array(
+    embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """ivf_assign for LARGE codebooks: the codebook rides as ONE
+    array<struct<cid,cvec>> column and the argmax is a single
+    higher-order fold (F.aggregate) over it — codegen sees one
+    expression regardless of n_centroids, where the per-centroid
+    literal chain of ivf_assign blows up the generated method past
+    JIT limits around a few hundred centroids (VERDICT r01). Still a
+    narrow projection: no join, no shuffle, no UDF."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+    def _cos_to(cvec):
+        return cosine_guarded(F.col("embedding"), cvec)
+
+    def _step(acc, c):
+        score = _cos_to(c["cvec"])
+        better = (score > acc["score"]) | (
+            (score == acc["score"]) & (c["cid"] < acc["cid"])
+        )
+        return F.when(
+            better, F.struct(score.alias("score"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    init = F.struct(F.lit(-9.0).alias("score"), F.lit(-1).alias("cid"))
+    best = F.aggregate(cent, init, _step)
+    return embeddings.withColumn("cell", best["cid"])
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means codebook build (optional upgrade over
+    the deterministic first-N codebook). Init = first n_centroids
+    vectors by vec_id (deterministic, no RNG); each iteration is one
+    assign pass (narrow, codegen) + one elementwise-mean aggregation
+    (posexplode → groupBy (cell, pos) avg — map-side combinable, shuffle
+    is n_centroids×dim doubles). Empty cells keep their previous
+    centroid. Returns [(cid, vec)] for ivf_assign/ivf_assign_array."""
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(embeddings, n_centroids).collect()
+    ]
+    for _ in range(max(n_iters, 0)):
+        assigned = ivf_assign_array(embeddings, cents)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = dict(cents)
+        for r in means:
+            new[int(r["cell"])] = [float(x) for x in r["centroid"]]
+        cents = sorted(new.items())
+    return cents
 
 
 def ivf_topk(
@@ -106,7 +201,8 @@ def ivf_topk(
             dot += x * y
             n1 += x * x
             n2 += y * y
-        return dot / ((n1**0.5) * (n2**0.5))
+        denom = (n1**0.5) * (n2**0.5)
+        return dot / denom if denom > 0 else -2.0  # zero-norm guard
 
     probed = [
         cid
@@ -119,7 +215,7 @@ def ivf_topk(
         ivf_assign(embeddings, cents)
         .filter(F.col("cell").isin(probed))
         .select(
-            "vec_id", F.round(cosine_expr(F.col("embedding"), q), 6).alias("cosine")
+            "vec_id", F.round(cosine_guarded(F.col("embedding"), q), 6).alias("cosine")
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -157,7 +253,7 @@ def lsh_topk(
     )
     return (
         candidates.select(
-            "vec_id", F.round(cosine_expr(F.col("embedding"), q), 6).alias("cosine")
+            "vec_id", F.round(cosine_guarded(F.col("embedding"), q), 6).alias("cosine")
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
