@@ -65,6 +65,35 @@ def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_scratch_dir(prefix: str) -> str:
+    """Scratch dir owned by the query's lifetime: queries that run a
+    real lake merge need their files to OUTLIVE the callable (the driver
+    collects the returned DataFrame afterwards), so cleanup is deferred
+    to process exit instead of a finally block — and results never round-
+    trip through the driver as collected rows."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"{prefix}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _EVENTS_STATE_SCHEMA():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+
+
 _LWW_ORACLE_CORE = f"""
     WITH changelog AS ({_CHANGELOG_SQL}),
     ranked AS (
@@ -124,44 +153,75 @@ def q_cdc_merge_state(spark, sf_dir):
     converged state — must equal the pure-SQL LWW oracle. This is the
     ReplacingMergeTree-parity proof as a driver query, not only a
     pytest."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import types as T
-
     from web3research_etl_spark.lake.table import LakeTable
 
     ch = _events_changelog(spark, sf_dir).select(
         "op", "url", F.col("ts").cast("timestamp").alias("ts"),
         "event_id", "event_type", "value",
     )
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("ts", T.TimestampType(), True),
-            T.StructField("event_id", T.LongType(), True),
-            T.StructField("event_type", T.StringType(), True),
-            T.StructField("value", T.DoubleType(), True),
-        ]
+    d = _query_scratch_dir("drv_merge")
+    t = LakeTable.create(
+        spark, f"{d}/t", _EVENTS_STATE_SCHEMA(),
+        key=["url"], version_order=["ts", "event_id"], n_buckets=8,
     )
-    d = tempfile.mkdtemp(prefix="drv_merge_")
-    try:
-        t = LakeTable.create(
-            spark, f"{d}/t", schema,
+    t.merge_changelog(ch, epoch_id=0)
+    # Returned lazily — the scratch dir outlives this call (atexit-owned),
+    # so the driver can collect the DataFrame itself; never .collect()
+    # table-sized results onto the driver here (VERDICT r01).
+    return t.read().select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+_FANOUT_ROUTES = ["click", "view", "purchase"]
+
+
+def q_fanout_merge_state(spark, sf_dir):
+    """Multi-table fan-out (SURVEY S7) under the oracle gate: one
+    changelog batch dispatched by event_type into three route tables +
+    a _rest table (reference: 5/43 concurrent per-block inserts,
+    /root/reference/src/ch_eth/init.rs:403-425), each a REAL LakeTable
+    merge with its own epoch marker; reads back per-route converged
+    key counts. LWW is per (route, url) because each route table
+    converges independently — the oracle partitions its window the same
+    way."""
+    from web3research_etl_spark.lake.table import LakeTable
+    from web3research_etl_spark.operators.dispatch import REST_ROUTE
+    from web3research_etl_spark.operators.fanout import apply_fanout_batch
+
+    ch = _events_changelog(spark, sf_dir).select(
+        "op", "url", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    d = _query_scratch_dir("drv_fanout")
+    tables = {
+        r: LakeTable.create(
+            spark, f"{d}/{r}", _EVENTS_STATE_SCHEMA(),
             key=["url"], version_order=["ts", "event_id"], n_buckets=8,
         )
-        t.merge_changelog(ch, epoch_id=0)
-        out = t.read().select(
-            "url",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.round("value", 2).alias("last_value"),
-        )
-        # materialize before the temp dir is removed
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        for r in [*_FANOUT_ROUTES, REST_ROUTE]
+    }
+
+    def _merge_fn(table, df, epoch_id, ledger=None, registry=None, salt_partitions=None):
+        return table.merge_changelog(df, epoch_id=epoch_id, salt_partitions=salt_partitions)
+
+    apply_fanout_batch(
+        tables, ch, epoch_id=0, discriminator=F.col("event_type"),
+        apply_fn=_merge_fn,
+    )
+    parts = [
+        t.read().select(F.lit(r).alias("route"), "url", "event_id")
+        for r, t in tables.items()
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("route").agg(
+        F.count("*").alias("n_keys"), F.max("event_id").alias("max_event_id")
+    )
 
 
 def q_cdc_tombstones(spark, sf_dir):
@@ -713,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_converged": q_cdc_lww_converged,
         "cdc_lww_agg": q_cdc_lww_agg,
         "cdc_merge_state": q_cdc_merge_state,
+        "fanout_merge_state": q_fanout_merge_state,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -832,6 +893,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, event_id AS last_event_id, event_type AS last_event_type,
                    round(value, 2) AS last_value
             FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "fanout_merge_state": f"""
+            WITH changelog AS ({_CHANGELOG_SQL}),
+            routed AS (
+              SELECT *, CASE WHEN event_type IN ('click','view','purchase')
+                             THEN event_type ELSE '_rest' END AS route
+              FROM changelog),
+            ranked AS (
+              SELECT route, url, op, event_id,
+                     row_number() OVER (PARTITION BY route, url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM routed)
+            SELECT route, count(*) AS n_keys, max(event_id) AS max_event_id
+            FROM ranked WHERE rn = 1 AND op <> 'D' GROUP BY route
         """,
         "cdc_merge_state": f"""
             {lww}
