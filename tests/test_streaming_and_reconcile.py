@@ -121,3 +121,106 @@ def test_heal_removes_orphans(spark, tmp_table_dir, ch_dir):
     heal(t, ch, epoch_id=9005)
     assert t.read().filter(F.col("url") == "https://ghost.example.com/x").count() == 0
     assert reconcile(t.read(), expected_state(ch)).filter(F.col("status") != "ok").count() == 0
+
+
+def test_reconcile_window_bounded(spark, tmp_table_dir, ch_dir):
+    """Bounded reconcile (reference: last-100k-blocks window): catches
+    corruption on keys touched inside the window, is blind to keys
+    outside it (documented trade), and a windowed heal fixes exactly the
+    in-window damage."""
+    from web3research_etl_spark.operators.reconcile import reconcile_window
+
+    ch = spark.read.parquet(ch_dir)
+    t = _new_table(spark, tmp_table_dir, "window")
+    apply_changelog_batch(t, ch, epoch_id=0)
+
+    cutoff = int(N * 0.7)
+    window = ch.filter(F.col("event_seq") >= cutoff)
+    window_urls = {r["url"] for r in window.select("url").distinct().collect()}
+
+    exp = expected_state(ch)
+    stored_rows = t.read().select("url", "warc_ts", "event_seq").collect()
+    in_win = next(r for r in stored_rows if r["url"] in window_urls)
+    out_win = next(r for r in stored_rows if r["url"] not in window_urls)
+
+    # corrupt both: force-replace with a stale version (stored falls behind)
+    def corrupt(url, epoch):
+        stale = (
+            t.read()
+            .filter(F.col("url") == url)
+            .select(
+                F.lit("U").alias("op"), "url",
+                F.timestamp_seconds(F.lit(1)).alias("warc_ts"),
+                F.lit(0).cast("long").alias("event_seq"),
+                "html", "text", "lang",
+            )
+        )
+        t.merge_changelog(stale, epoch_id=epoch, force_replace=True)
+
+    corrupt(in_win["url"], 9101)
+    corrupt(out_win["url"], 9102)
+
+    rep = reconcile_window(t.read(), window)
+    bad = {r["url"]: r["status"] for r in rep.filter(F.col("status") != "ok").collect()}
+    assert bad.get(in_win["url"]) == "divergent"
+    assert out_win["url"] not in bad  # window blindness, by design
+
+    # windowed heal repairs the in-window key only
+    heal(t, window, epoch_id=9103, report=rep)
+    rep2 = reconcile_window(t.read(), window)
+    assert rep2.filter(F.col("status") != "ok").count() == 0
+
+    # the out-of-window corruption is still there — full check sees it
+    full = reconcile(t.read(), expected_state(ch))
+    still_bad = {r["url"] for r in full.filter(F.col("status") != "ok").collect()}
+    assert out_win["url"] in still_bad and in_win["url"] not in still_bad
+
+
+def test_reconcile_window_missing_and_orphan(spark, tmp_table_dir, ch_dir):
+    """Window statuses: a key whose window winner is an upsert but was
+    never stored → missing; stored row older than a window delete winner
+    → orphan (heal must tombstone it)."""
+    from web3research_etl_spark.operators.reconcile import reconcile_window
+
+    ch = spark.read.parquet(ch_dir)
+    t = _new_table(spark, tmp_table_dir, "winmo")
+    apply_changelog_batch(t, ch, epoch_id=0)
+
+    # missing: drop one stored key entirely (tombstone via force_replace D)
+    victim = t.read().limit(1).collect()[0]
+    del_row = spark.createDataFrame(
+        [("D", victim["url"], victim["event_seq"] + 1)],
+        "op string, url string, event_seq long",
+    ).select(
+        "op", "url", F.lit(victim["warc_ts"]).alias("warc_ts"), "event_seq",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    t.merge_changelog(del_row, epoch_id=9201, force_replace=True)
+
+    # a window slice containing only that key's true events
+    window = ch.filter(F.col("url") == victim["url"])
+    rep = reconcile_window(t.read(), window)
+    row = rep.collect()[0]
+    # the key's LWW winner decides the expectation
+    winner_is_delete = (
+        expected_state(window).filter(F.col("url") == victim["url"]).count() == 0
+    )
+    assert row["status"] == ("ok" if winner_is_delete else "missing")
+
+    # orphan: synthesize a window whose winner is a delete NEWER than stored
+    victim2 = t.read().limit(1).collect()[0]
+    win_del = spark.createDataFrame(
+        [("D", victim2["url"], victim2["event_seq"] + 10)],
+        "op string, url string, event_seq long",
+    ).select(
+        "op", "url",
+        F.lit(victim2["warc_ts"]).alias("warc_ts"), "event_seq",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    rep2 = reconcile_window(t.read(), win_del)
+    assert rep2.collect()[0]["status"] == "orphan"
+    heal(t, win_del, epoch_id=9202, report=rep2)
+    assert t.read().filter(F.col("url") == victim2["url"]).count() == 0

@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
     _common(check)
     check.add_argument("--heal", action="store_true")
     check.add_argument("--epoch", type=int, default=None, help="heal epoch id")
+    check.add_argument(
+        "--since",
+        type=int,
+        default=None,
+        help="bounded reconcile: verify only keys touched by events with "
+        "event_seq >= SINCE — O(window) instead of O(history) (the "
+        "reference checks the last 100k blocks). Orphan sweeps outside "
+        "the window need an unwindowed check.",
+    )
 
     replay = subs.add_parser(
         "replay",
@@ -223,22 +232,34 @@ def main(argv: list[str] | None = None) -> int:
             expected_state,
             heal,
             reconcile,
+            reconcile_window,
         )
 
         changelog = spark.read.parquet(args.source)
-        report = reconcile(table.read(), expected_state(changelog))
+        if args.since is not None:
+            # bounded mode: both the expected state and any heal operate
+            # on the window slice only (O(window), not O(history))
+            changelog = changelog.filter(F.col("event_seq") >= args.since)
+
+            def _report():
+                return reconcile_window(table.read(), changelog)
+        else:
+
+            def _report():
+                return reconcile(table.read(), expected_state(changelog))
+
+        report = _report()
         counts = {
             r["status"]: r["n"]
             for r in report.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
-        print(json.dumps({"reconcile": counts}))
+        print(json.dumps({"reconcile": counts, "since": args.since}))
         if args.heal and any(k != "ok" for k in counts):
             epoch = args.epoch if args.epoch is not None else table.synthetic_epoch_id("heal")
-            res = heal(table, changelog, epoch_id=epoch)
-            after = reconcile(table.read(), expected_state(changelog))
+            res = heal(table, changelog, epoch_id=epoch, report=report)
             after_counts = {
                 r["status"]: r["n"]
-                for r in after.groupBy("status").agg(F.count("*").alias("n")).collect()
+                for r in _report().groupBy("status").agg(F.count("*").alias("n")).collect()
             }
             print(json.dumps({"healed": not res.get("skipped", False), "after": after_counts}))
         return 0

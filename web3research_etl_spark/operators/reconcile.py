@@ -61,6 +61,62 @@ def reconcile(stored: DataFrame, expected: DataFrame, key: str = "url") -> DataF
     )
 
 
+def reconcile_window(
+    stored: DataFrame, changelog_window: DataFrame, key: str = "url"
+) -> DataFrame:
+    """Bounded reconcile — the reference checks only the last 100 000
+    blocks (src/ch_eth/sync.rs:348-352); the unwindowed reconcile
+    recomputes expected state from the ENTIRE changelog, O(history) per
+    check and unusable at 10^10 events. This verifies exactly the keys
+    touched by a changelog SLICE.
+
+    Cost model: O(|window|) to compute window winners (one LWW pass on
+    the slice) plus one scan of the stored table joined to those winners
+    — the winner side is typically small enough to broadcast, so the
+    stored side is never shuffled. No full-history replay.
+
+    Semantics per window-touched key (window winner W, stored row S):
+    - S at or past W's version → 'ok'  (a post-window event may have
+      advanced S; the window can't distinguish, and doesn't need to —
+      it verifies W was APPLIED, not that S is the global winner);
+    - no S and W is an upsert → 'missing';
+    - S older than W and W is an upsert → 'divergent';
+    - S older than W and W is a delete → 'orphan' (the key should have
+      been tombstoned; heal()'s orphan branch synthesizes the delete).
+    Keys untouched by the window are invisible — true orphan sweeps
+    need the unwindowed check; that blindness is the price of O(window).
+    """
+    win = lww_dedup_agg(
+        changelog_window.select("op", "url", "warc_ts", "event_seq", "html", "lang"),
+        key=[key],
+        version_order=["warc_ts", "event_seq"],
+    ).select(
+        key,
+        "op",
+        F.col("warc_ts").alias("expected_ts"),
+        F.col("event_seq").alias("expected_seq"),
+    )
+    s = stored.select(
+        F.col(key), F.col("warc_ts").alias("stored_ts"), F.col("event_seq").alias("stored_seq")
+    )
+    joined = win.join(s, key, "left_outer")
+    stored_behind = (F.col("stored_ts") < F.col("expected_ts")) | (
+        (F.col("stored_ts") == F.col("expected_ts"))
+        & (F.col("stored_seq") < F.col("expected_seq"))
+    )
+    return joined.select(
+        key,
+        "stored_seq",
+        "expected_seq",
+        F.when(F.col("stored_seq").isNull() & (F.col("op") != "D"), F.lit("missing"))
+        .when(F.col("stored_seq").isNull(), F.lit("ok"))  # deleted as expected
+        .when(stored_behind & (F.col("op") == "D"), F.lit("orphan"))
+        .when(stored_behind, F.lit("divergent"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 def heal(
     table: LakeTable,
     changelog: DataFrame,
