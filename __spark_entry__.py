@@ -866,6 +866,53 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
     """
 
 
+def _minhash_lsh_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket_size: int = 200
+) -> str:
+    """Exact DuckDB replica of operators/dedup.py:minhash_lsh_candidates —
+    banding is pure md5 over the minhash values (no RNG), so candidate
+    sets are deterministic and fully oracle-checkable."""
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"min({_H60.format(x=f'''shingle || '#{i}' ''')}) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for bd in range(bands):
+        cols = ", ".join(
+            f"CAST(mh{bd * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, md5(concat_ws(':', '{bd}', {cols})) AS bucket FROM sig"
+        )
+    banded = "\n          UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS (
+          {banded}
+        ),
+        buckets AS (SELECT DISTINCT doc_id, bucket FROM banded),
+        ok AS (SELECT bucket FROM buckets GROUP BY bucket
+               HAVING count(*) <= {max_bucket_size}),
+        kept AS (SELECT b.doc_id, b.bucket FROM buckets b JOIN ok USING (bucket)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    """
+
+
 _COSINE = """
     list_sum(list_transform(range(1, 65),
         i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
@@ -1250,7 +1297,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(unnest(range(0, (octet_length(encode(text)) % 100) + 1, 10)) AS INT) AS frame_no
             FROM documents
         """,
-        # minhash_lsh_candidates intentionally omitted: candidate sets are
-        # LSH-bucket-dependent → rows-only check; est_jaccard values are
-        # still pinned by the minhash_signatures oracle above.
+        "minhash_lsh_candidates": _minhash_lsh_oracle(num_hashes=8, bands=4),
     }
