@@ -166,6 +166,69 @@ def test_read_for_keys_bucket_pruning(spark, tmp_table_dir):
     assert t.read_for_keys(["nope"]).count() == 0
 
 
+def test_read_for_keys_composite(spark, tmp_table_dir):
+    """Composite-key point lookup (the reference keys tables by
+    multi-column tuples, src/ch_eth/init.rs:205-206): bucket pruning
+    must work off the full tuple hash, and the row filter must match
+    tuples exactly — not the cross product of the per-column values."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("shard", T.LongType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("event_seq", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "ck"),
+        schema,
+        key=["url", "shard"],
+        version_order=["warc_ts", "event_seq"],
+        n_buckets=8,
+    )
+    rows = spark.createDataFrame(
+        [("I", f"u{i % 8}", i % 4, 100 + i, i, f"v{i}") for i in range(32)],
+        "op string, url string, shard long, ts_s long, event_seq long, v string",
+    ).select(
+        "op", "url", "shard",
+        F.timestamp_seconds("ts_s").alias("warc_ts"), "event_seq", "v",
+    )
+    t.merge_changelog(rows, epoch_id=1)
+
+    # (u1,1)=row 9 and (u6,2)=row 6/22→ the LWW winner per tuple
+    got = t.read_for_keys([("u1", 1), ("u6", 2)]).orderBy("url").collect()
+    assert [(r["url"], r["shard"]) for r in got] == [("u1", 1), ("u6", 2)]
+    # cross-product contamination check: (u1,2) exists in the table but
+    # was not requested, and must not appear
+    assert all(not (r["url"] == "u1" and r["shard"] == 2) for r in got)
+
+    # pruning really happened: requested tuples hash to <=2 of 8 buckets
+    snap = t.current_snapshot()
+    one = spark.range(1)
+    b = one.select(
+        *[
+            F.pmod(
+                F.xxhash64(F.concat_ws("\x1f", F.lit(u), F.lit(s).cast("string"))),
+                F.lit(8),
+            ).alias(f"b{i}")
+            for i, (u, s) in enumerate([("u1", 1), ("u6", 2)])
+        ]
+    ).collect()[0]
+    wanted = {b["b0"], b["b1"]}
+    assert len(wanted) <= 2 < len(snap["file_groups"])
+
+    # scalar shorthand stays valid for 1-col keys; wrong arity errors
+    try:
+        t.read_for_keys(["u1"])
+        raise AssertionError("arity mismatch should raise")
+    except ValueError:
+        pass
+    # missing tuple -> empty, not error
+    assert t.read_for_keys([("nope", 99)]).count() == 0
+
+
 def test_rewrite_small_files_compaction(spark, tmp_table_dir):
     """Compaction collapses per-bucket file fragments into one group and
     preserves state + time travel (SURVEY S10)."""

@@ -618,33 +618,63 @@ class LakeTable:
         the writer used, and only those buckets' file groups are
         scanned — a 32-bucket table serves a single-key lookup from
         ~1/32 of its files before any row filter runs; the key filter
-        itself then pushes down into the pruned parquet scan."""
+        itself then pushes down into the pruned parquet scan.
+
+        Composite keys (the reference keys most tables by multi-column
+        tuples, src/ch_eth/init.rs:205-206): pass tuples/lists, one
+        value per key column, e.g. ``read_for_keys([("u1", 3)])``.
+        Scalars remain valid for single-column keys."""
         snap = self.current_snapshot()
         key_cols = snap["key"]
         if not key_cols:
             raise ValueError("read_for_keys requires a keyed table")
-        if len(key_cols) != 1:
-            raise NotImplementedError("composite-key lookup: filter read() instead")
-        # driver-side bucket computation — must match _bucket_expr
+        tuples = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+        for t in tuples:
+            if len(t) != len(key_cols):
+                raise ValueError(
+                    f"key tuple {t!r} has {len(t)} values; table key is {key_cols}"
+                )
+        # driver-side bucket computation — must match _bucket_expr: the
+        # literal takes the key column's type so the string cast renders
+        # identically to the writer's
         one = self.spark.range(1)
-        wanted = set()
-        lits = [F.lit(k) for k in keys]
+        field_types = {f.name: f.dataType for f in self.schema(snap).fields}
         row = one.select(
             *[
                 F.pmod(
-                    F.xxhash64(F.concat_ws("\x1f", lit.cast("string"))),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "\x1f",
+                            *[
+                                F.lit(v).cast(field_types[c]).cast("string")
+                                for c, v in zip(key_cols, t)
+                            ],
+                        )
+                    ),
                     F.lit(snap["n_buckets"]),
                 ).alias(f"b{i}")
-                for i, lit in enumerate(lits)
+                for i, t in enumerate(tuples)
             ]
         ).collect()[0]
-        wanted = {row[f"b{i}"] for i in range(len(keys))}
+        wanted = {row[f"b{i}"] for i in range(len(tuples))}
         groups = [fg for fg in snap["file_groups"] if fg["bucket"] in wanted]
         df = self._read_groups(snap, groups, include_deleted=include_deleted)
         if df is None:
             empty_schema = self.schema(snap)
             return self.spark.createDataFrame([], empty_schema)
-        return df.filter(F.col(key_cols[0]).isin(keys))
+        if len(key_cols) == 1:
+            # single column: an IN-list pushes down as one parquet filter
+            return df.filter(F.col(key_cols[0]).isin([t[0] for t in tuples]))
+        # composite: OR of per-tuple conjunctions — still pushdown-able
+        # (parquet accepts Or(And(Eq, Eq), ...) over the same columns)
+        filt = None
+        for t in tuples:
+            conj = None
+            for c, v in zip(key_cols, t):
+                eq = F.col(c) == F.lit(v).cast(field_types[c])
+                conj = eq if conj is None else (conj & eq)
+            filt = conj if filt is None else (filt | conj)
+        return df.filter(filt)
 
     def rewrite_small_files(self, target_min_files_per_bucket: int = 1) -> dict:
         """Compaction (SURVEY S10 — the reference's OPTIMIZE sidecar,
