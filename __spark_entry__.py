@@ -708,6 +708,39 @@ def q_dispatch_fanout(spark, sf_dir):
     return out
 
 
+def q_outlinks_explode(spark, sf_dir):
+    """Nested array<struct> end-to-end (SURVEY §1.1/§1.3 — the
+    reference's Nested(...) columns, src/ch_tron/schema.rs:165-170, and
+    its per-log/withdrawal explodes, P3/P4): build a deterministic
+    outlinks array<struct<href,anchor>> per event, explode it, and
+    aggregate per target href. The struct is constructed and unpacked
+    natively (transform/sequence/explode — all codegen, no UDF); the
+    DuckDB oracle replicates with list_transform + unnest over structs."""
+    ev = _t(spark, sf_dir, "events")
+    n = (F.col("event_id") % 4).cast("int")
+    links = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.concat(
+                    F.lit("https://out-"),
+                    ((F.col("event_id") * 7 + i) % 50).cast("string"),
+                ).alias("href"),
+                F.concat(F.lit("a"), i.cast("string")).alias("anchor"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<href:string,anchor:string>>"))
+    ex = ev.select("user_id", links.alias("outlinks")).select(
+        "user_id", F.explode("outlinks").alias("l")
+    )
+    return ex.groupBy(F.col("l.href").alias("href")).agg(
+        F.count("*").cast("bigint").alias("n_links"),
+        F.countDistinct("user_id").cast("bigint").alias("n_src_users"),
+        F.countDistinct(F.col("l.anchor")).cast("bigint").alias("n_anchors"),
+    )
+
+
 def q_hex_roundtrip(spark, sf_dir):
     """Hex-string → integer parse (SURVEY F2, JVM-side conv): encode
     event_id to hex and parse it back; rows where the roundtrip fails
@@ -814,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "dispatch_fanout": q_dispatch_fanout,
         "hex_roundtrip": q_hex_roundtrip,
+        "outlinks_explode": q_outlinks_explode,
         "doc_b58_fingerprint": q_doc_b58_fingerprint,
     }
 
@@ -1298,4 +1332,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(num_hashes=8, bands=4),
+        "outlinks_explode": """
+            WITH ex AS (
+              SELECT user_id,
+                     unnest(list_transform(
+                       range(1, CAST(event_id % 4 AS INT) + 1),
+                       i -> {'href': 'https://out-'
+                                      || CAST((event_id * 7 + i) % 50 AS VARCHAR),
+                             'anchor': 'a' || CAST(i AS VARCHAR)})) AS l
+              FROM events
+            )
+            SELECT struct_extract(l, 'href') AS href,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_src_users,
+                   CAST(count(DISTINCT struct_extract(l, 'anchor')) AS BIGINT)
+                     AS n_anchors
+            FROM ex GROUP BY struct_extract(l, 'href')
+        """,
     }

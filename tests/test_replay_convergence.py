@@ -111,6 +111,83 @@ def test_schema_evolution_mid_stream(spark, tmp_table_dir, changelog_path):
     assert latest.count() > 0
 
 
+def test_nested_array_struct_evolution_and_merge(spark, tmp_table_dir, changelog_path):
+    """v4 adds `outlinks array<struct<href,anchor>>` (SURVEY §1.1/§1.3:
+    the reference's Nested(...) columns, src/ch_tron/schema.rs:165-170).
+    The nested column must land via the registry ALTER, parse from the
+    JSON payload, survive the LWW merge (newer outlinks win), read back
+    through the old-file cast path, and explode."""
+    ch = spark.read.parquet(changelog_path)
+    reg = default_registry(spark)
+    t = _new_table(spark, tmp_table_dir, "nested")
+    # epoch 0: plain v3 history (files WITHOUT the outlinks column)
+    apply_changelog_batch(
+        t, ch.filter(F.col("payload_version") == 3), epoch_id=0, registry=reg
+    )
+
+    def v4_batch(base, tag):
+        n = (F.col("event_seq") % 3).cast("int")  # 0..2 links; empties covered
+        links = F.when(n > 0, F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.concat(
+                    F.lit(f"https://out-{tag}.example.com/"),
+                    ((F.col("event_seq") + i) % 7).cast("string"),
+                ).alias("href"),
+                F.concat(F.lit(tag), i.cast("string")).alias("anchor"),
+            ),
+        )).otherwise(F.array().cast("array<struct<href:string,anchor:string>>"))
+        return base.withColumn("payload_version", F.lit(4)).withColumn(
+            "payload",
+            F.to_json(
+                F.struct(
+                    F.length(F.col("html")).cast("long").alias("content_len"),
+                    links.alias("outlinks"),
+                )
+            ),
+        )
+
+    live = t.read().limit(8).select("url", "event_seq").collect()
+    base = ch.join(
+        spark.createDataFrame([(r["url"],) for r in live], "url string"), "url", "left_semi"
+    ).filter(F.col("op") != "D")
+    # epoch 1: v4 rows strictly newer than anything stored → must win
+    newer = base.withColumn("event_seq", F.col("event_seq") + F.lit(10_000_000)).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(2_000_000_000) + F.col("event_seq"))
+    )
+    apply_changelog_batch(t, v4_batch(newer, "w"), epoch_id=1, registry=reg)
+    # epoch 2: v4 rows OLDER than stored → must lose, outlinks kept from winner
+    apply_changelog_batch(
+        t,
+        v4_batch(
+            base.withColumn("event_seq", F.col("event_seq") - F.lit(1_000_000)), "l"
+        ),
+        epoch_id=2,
+        registry=reg,
+    )
+
+    cols = dict(t.read().dtypes)
+    assert cols["outlinks"] == "array<struct<href:string,anchor:string>>"
+    got = t.read().join(
+        spark.createDataFrame([(r["url"],) for r in live], "url string"), "url", "left_semi"
+    )
+    # every winner is a "w"-tagged v4 row; losers never overwrote
+    anchors = (
+        got.select(F.explode("outlinks").alias("l"))
+        .select(F.col("l.anchor").alias("anchor"))
+        .collect()
+    )
+    assert anchors and all(r["anchor"].startswith("w") for r in anchors)
+    # href structure survived the merge round-trip
+    assert all(
+        "out-w.example.com" in x["l"]["href"]
+        for x in got.select(F.explode("outlinks").alias("l")).collect()
+    )
+    # rows that predate v4 read back with null outlinks (old-file cast path)
+    old_rows = t.read().filter(F.col("outlinks").isNull())
+    assert old_rows.count() > 0
+
+
 def test_resume_from_ledger_offsets(spark, tmp_table_dir, changelog_path):
     ch = spark.read.parquet(changelog_path)
     half = N_EVENTS // 2
