@@ -65,6 +65,41 @@ def test_streaming_restart_is_exactly_once(spark, tmp_table_dir, ch_dir):
     assert t.state_hash() == h1
 
 
+def test_sync_dedup_watermark_same_state_fewer_rows(spark, tmp_table_dir, ch_dir):
+    """run_sync(dedup_watermark=...) drops re-delivered events before
+    the merge: final state is IDENTICAL (LWW is the backstop either
+    way), but fewer rows reach the sink — the ledger's rows_in, counted
+    at the sink's mouth, is the shuffle-volume receipt. The generator
+    emits ~5% duplicate events, so the delta must be positive.
+
+    The horizon must exceed the source's max event-time disorder
+    (watermark semantics drop later rows outright — see run_sync's
+    docstring); the fixture spans ~33h with unordered file pickup, so
+    48h makes nothing late while duplicates (adjacent by construction)
+    are still all caught."""
+    t_plain = _new_table(spark, tmp_table_dir, "nodedup")
+    led_plain = open_ledger(spark, f"{tmp_table_dir}/led_plain")
+    run_sync(
+        spark, ch_dir, t_plain, f"{tmp_table_dir}/ck_plain",
+        ledger=led_plain, available_now=True, max_files_per_trigger=2,
+    ).awaitTermination()
+
+    t_dedup = _new_table(spark, tmp_table_dir, "dedup")
+    led_dedup = open_ledger(spark, f"{tmp_table_dir}/led_dedup")
+    run_sync(
+        spark, ch_dir, t_dedup, f"{tmp_table_dir}/ck_dedup",
+        ledger=led_dedup, available_now=True, max_files_per_trigger=2,
+        dedup_watermark="48 hours",
+    ).awaitTermination()
+
+    assert t_plain.state_hash() == t_dedup.state_hash()
+    rows_plain = led_plain.read().agg(F.sum("rows_in")).collect()[0][0]
+    rows_dedup = led_dedup.read().agg(F.sum("rows_in")).collect()[0][0]
+    assert rows_dedup < rows_plain  # duplicates died before the merge
+    # the deduped run saw at most one copy of every event
+    assert rows_dedup >= N
+
+
 def test_reconcile_statuses(spark, tmp_table_dir, ch_dir):
     ch = spark.read.parquet(ch_dir)
     t = _new_table(spark, tmp_table_dir, "recon")

@@ -39,16 +39,30 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="web3research_etl_spark")
     subs = p.add_subparsers(dest="cmd", required=True)
 
+    def _dedup_flag(sub: argparse.ArgumentParser) -> None:
+        sub.add_argument(
+            "--dedup-watermark",
+            default=None,
+            metavar="DURATION",
+            help="drop re-delivered events before the merge via "
+            "dropDuplicatesWithinWatermark (e.g. '2 hours'). MUST exceed the "
+            "source's max event-time disorder — later rows are dropped "
+            "outright per watermark semantics. Off by default; the LWW merge "
+            "stays the idempotency backstop either way.",
+        )
+
     init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
     _common(init)
     init.add_argument("--batch-files", type=int, default=None, help="maxFilesPerTrigger")
     init.add_argument("--checkpoint", default=None)
+    _dedup_flag(init)
 
     sync = subs.add_parser("sync", help="unbounded streaming tail")
     _common(sync)
     sync.add_argument("--checkpoint", required=True)
     sync.add_argument("--trigger", default="5 seconds")
     sync.add_argument("--batch-files", type=int, default=None)
+    _dedup_flag(sync)
 
     check = subs.add_parser("check", help="reconcile stored state vs changelog; optionally heal")
     _common(check)
@@ -138,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             available_now=(args.cmd == "init"),
             max_files_per_trigger=args.batch_files,
             processing_time=getattr(args, "trigger", "5 seconds"),
+            dedup_watermark=getattr(args, "dedup_watermark", None),
         )
         if args.cmd == "init":
             q.awaitTermination()

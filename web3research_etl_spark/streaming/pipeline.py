@@ -51,13 +51,30 @@ def run_sync(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     processing_time: str = "5 seconds",
+    dedup_watermark: str | None = None,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
 
+    ``dedup_watermark`` (e.g. ``"2 hours"``) inserts a
+    dropDuplicatesWithinWatermark stage ahead of the sink: re-delivered
+    events whose duplicate lands inside the horizon are dropped BEFORE
+    the merge, so their payload bytes never reach the merge shuffle.
+    Off by default — the merge's LWW apply is already idempotent, so
+    this is purely a shuffle-volume optimization. Horizon choice: it
+    MUST exceed the source's maximum event-time disorder — watermark
+    semantics drop any row later than the horizon outright (standard
+    Spark late-data policy, SURVEY T2), which would silence events the
+    LWW backstop never sees. Size it to covered-lag + dup window; state
+    stays bounded to one horizon of keys either way.
+
     Returns the StreamingQuery (caller awaits/stops it).
     """
     stream = stream_changelog(spark, source_dir, max_files_per_trigger)
+    if dedup_watermark is not None:
+        from web3research_etl_spark.streaming.stateful import dedup_within_watermark
+
+        stream = dedup_within_watermark(stream, watermark=dedup_watermark)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         apply_changelog_batch(
