@@ -52,6 +52,7 @@ def run_sync(
     max_files_per_trigger: int | None = None,
     processing_time: str = "5 seconds",
     dedup_watermark: str | None = None,
+    source: DataFrame | None = None,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
@@ -68,9 +69,19 @@ def run_sync(
     LWW backstop never sees. Size it to covered-lag + dup window; state
     stays bounded to one horizon of keys either way.
 
+    ``source`` overrides the default file-stream reader with any
+    pre-built streaming DataFrame in CHANGELOG_SCHEMA shape — e.g.
+    ``sources.kafka_wire.stream_changelog_wire`` (or a real
+    ``format("kafka")`` load piped through ``decode_wire``). Everything
+    from here down is transport-agnostic.
+
     Returns the StreamingQuery (caller awaits/stops it).
     """
-    stream = stream_changelog(spark, source_dir, max_files_per_trigger)
+    stream = (
+        source
+        if source is not None
+        else stream_changelog(spark, source_dir, max_files_per_trigger)
+    )
     if dedup_watermark is not None:
         from web3research_etl_spark.streaming.stateful import dedup_within_watermark
 
