@@ -591,6 +591,19 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """The 100-TB Jaccard path: MinHash-LSH candidates first, exact
+    shingle-set Jaccard only on candidate pairs (operators/dedup.py:
+    ngram_jaccard_via_lsh; same params as minhash_lsh_candidates so the
+    candidate CTE in the oracle is shared)."""
+    from web3research_etl_spark.operators.dedup import ngram_jaccard_via_lsh
+
+    return ngram_jaccard_via_lsh(
+        _t(spark, sf_dir, "documents"), k=12, threshold=0.2,
+        num_hashes=8, bands=4,
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     from web3research_etl_spark.operators.dedup import minhash_signatures
 
@@ -741,6 +754,57 @@ def q_outlinks_explode(spark, sf_dir):
     )
 
 
+def q_kafka_wire_roundtrip(spark, sf_dir):
+    """Kafka-wire source codec under the oracle gate (SURVEY §2.1
+    sources; the broker-shaped transport in sources/kafka_wire.py).
+    Spark derives a changelog from events, serializes it to Kafka wire
+    records (key/value bytes, JSON payload, base64 binary transit) and
+    decodes it back; the DuckDB oracle runs ONLY the derivation. A
+    hash match therefore proves the encode→decode roundtrip is the
+    identity on every column — url, op, timestamp, binary html, nulls
+    on deletes, partition/offset metadata."""
+    from web3research_etl_spark.sources.kafka_wire import decode_wire, encode_wire
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit("/p"),
+            (F.col("event_id") % 211).cast("string"),
+        ).alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.col("event_id").alias("event_seq"),
+        # null html on deletes — the wire codec must preserve nulls too
+        F.when(
+            F.col("event_type") != "error",
+            F.concat(
+                F.lit("<p>"), F.col("event_type"), F.lit(" "),
+                F.col("event_id").cast("string"), F.lit("</p>"),
+            ).cast("binary"),
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+        F.lit(1).cast("int").alias("payload_version"),
+        F.col("event_type").alias("payload"),
+        (F.col("event_id") % 8).cast("int").alias("source_partition"),
+    )
+    back = decode_wire(encode_wire(ch))
+    return back.select(
+        "url",
+        "op",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "event_seq",
+        F.col("html").cast("string").alias("html_str"),
+        "lang",
+        "payload",
+        "source_partition",
+    )
+
+
 def q_hex_roundtrip(spark, sf_dir):
     """Hex-string → integer parse (SURVEY F2, JVM-side conv): encode
     event_id to hex and parse it back; rows where the roundtrip fails
@@ -835,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute_topk": q_ann_brute_topk,
@@ -846,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "dispatch_fanout": q_dispatch_fanout,
+        "kafka_wire_roundtrip": q_kafka_wire_roundtrip,
         "hex_roundtrip": q_hex_roundtrip,
         "outlinks_explode": q_outlinks_explode,
         "doc_b58_fingerprint": q_doc_b58_fingerprint,
@@ -900,12 +966,11 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
     """
 
 
-def _minhash_lsh_oracle(
-    num_hashes: int = 8, bands: int = 4, max_bucket_size: int = 200
-) -> str:
-    """Exact DuckDB replica of operators/dedup.py:minhash_lsh_candidates —
-    banding is pure md5 over the minhash values (no RNG), so candidate
-    sets are deterministic and fully oracle-checkable."""
+def _lsh_pairs_ctes(num_hashes: int, bands: int, max_bucket_size: int) -> str:
+    """Shared WITH-clause body: shingles → minhash sig → md5 banding →
+    capped buckets → distinct candidate `pairs` (exact DuckDB replica of
+    operators/dedup.py:minhash_lsh_candidates — banding is pure md5 over
+    the minhash values, no RNG, so candidate sets are deterministic)."""
     rows_per_band = num_hashes // bands
     mins = ", ".join(
         f"min({_H60.format(x=f'''shingle || '#{i}' ''')}) AS mh{i}"
@@ -921,11 +986,7 @@ def _minhash_lsh_oracle(
             f"SELECT doc_id, md5(concat_ws(':', '{bd}', {cols})) AS bucket FROM sig"
         )
     banded = "\n          UNION ALL ".join(band_selects)
-    matches = " + ".join(
-        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
-    )
-    return f"""
-        WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
         banded AS (
           {banded}
@@ -938,12 +999,48 @@ def _minhash_lsh_oracle(
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM kept a JOIN kept b
             ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        )
+        )"""
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket_size: int = 200
+) -> str:
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH {_lsh_pairs_ctes(num_hashes, bands, max_bucket_size)}
         SELECT p.doc_a, p.doc_b,
                round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b
+    """
+
+
+def _ngram_jaccard_lsh_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB replica of operators/dedup.py:ngram_jaccard_via_lsh —
+    exact shingle-set Jaccard restricted to LSH candidate pairs."""
+    return f"""
+        WITH {_lsh_pairs_ctes(num_hashes, bands, max_bucket_size)},
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(*) AS n_common
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {threshold}
     """
 
 
@@ -1307,6 +1404,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type NOT IN ('click', 'view', 'purchase')
                OR event_type IS NULL
         """,
+        # kafka_wire_roundtrip: the oracle is ONLY the derivation — the
+        # Spark side additionally pushes the rows through the Kafka-wire
+        # encode→decode, so a hash match proves the codec is the
+        # identity (incl. base64 binary transit and null html on D).
+        "kafka_wire_roundtrip": """
+            SELECT 'https://site-' || CAST(user_id % 20 AS VARCHAR)
+                     || '/p' || CAST(event_id % 211 AS VARCHAR) AS url,
+                   CASE WHEN event_type = 'error' THEN 'D'
+                        WHEN event_type IN ('click', 'view') THEN 'U'
+                        ELSE 'I' END AS op,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS warc_epoch,
+                   event_id AS event_seq,
+                   CASE WHEN event_type <> 'error'
+                        THEN '<p>' || event_type || ' '
+                             || CAST(event_id AS VARCHAR) || '</p>'
+                        END AS html_str,
+                   'en' AS lang,
+                   event_type AS payload,
+                   CAST(event_id % 8 AS INTEGER) AS source_partition
+            FROM events
+        """,
         "hex_roundtrip": """
             SELECT event_id, upper(to_hex(event_id)) AS h,
                    CAST(('0x' || to_hex(event_id)) AS BIGINT) AS parsed
@@ -1332,6 +1450,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(num_hashes=8, bands=4),
+        "ngram_jaccard_lsh": _ngram_jaccard_lsh_oracle(
+            num_hashes=8, bands=4, threshold=0.2
+        ),
         "outlinks_explode": """
             WITH ex AS (
               SELECT user_id,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "simhash",
     "ngram_jaccard",
+    "ngram_jaccard_lsh",
     "embedding_near_dups",
     "ann_brute_topk",
     "ann_ivf_topk",
@@ -290,18 +291,36 @@ def _adaptive_scaling(
     efficiency too — a stolen small-leg reads as superscaling), so a
     passing number is never reported out of a window the probe itself
     flags.
+
+    Asymmetric top-up (added after the 14:28 run burned 71 min in a
+    window whose probe never went sane): contention noise is ONE-SIDED —
+    steal only ADDS time — so each level's per-epoch minimum is a
+    consistent estimator of that level's uncontended floor, and the
+    estimators converge independently. The small (fewer-cores) side
+    converges in 2-3 draws (observed stable at ~±1% across the entire
+    run history); the big side is the one that needs to catch a clean
+    window. So once the small side's composed floor stops improving
+    (<1% over a full cycle, after ≥REPEATS draws) it is FROZEN and the
+    remaining budget goes to big-side-only draws — roughly doubling the
+    chances of one clean big observation per epoch instead of spending
+    half the budget re-measuring a floor that is already flat.
     """
     import statistics
 
     min_reps = REPEATS if primary else 2
-    max_reps = MAX_REPEATS if primary else 3
+    # total big-side draw cap: big-only top-ups are ~2× cheaper than a
+    # full interleaved cycle, so allow twice the paired maximum
+    max_big = (MAX_REPEATS * 2) if primary else 4
     runs_small: list[dict] = []
     runs_big: list[dict] = []
     probes: list[float] = []
     r_small = r_big = None
     eff = 0.0
-    for i in range(max_reps):
-        runs_small.append(bench_cdc_subprocess(small, gen_dir, CDC_EVENTS))
+    prev_small_eps = None
+    small_frozen = False
+    while True:
+        if not small_frozen:
+            runs_small.append(bench_cdc_subprocess(small, gen_dir, CDC_EVENTS))
         runs_big.append(bench_cdc_subprocess(big, gen_dir, CDC_EVENTS))
         probes.append(_machine_scaling_ceiling(small, big))
         r_small = _compose_min_epochs(runs_small, CDC_EVENTS)
@@ -309,12 +328,22 @@ def _adaptive_scaling(
         eff = (
             r_big["steady_events_per_sec"] / r_small["steady_events_per_sec"]
         ) / (big / small)
-        if i + 1 >= min_reps:
+        if len(runs_big) >= min_reps:
             probe_sane = 0.85 <= probes[-1] <= 1.05
             if eff >= EFF_STOP and probe_sane:
                 break
             if time.time() - t_start > TIME_BUDGET_SEC:
                 break
+            if len(runs_big) >= max_big:
+                break
+        if (
+            not small_frozen
+            and len(runs_small) >= min_reps
+            and prev_small_eps is not None
+            and r_small["steady_events_per_sec"] <= prev_small_eps * 1.01
+        ):
+            small_frozen = True
+        prev_small_eps = r_small["steady_events_per_sec"]
     med_eff = (
         r_big["median_steady_events_per_sec"]
         / r_small["median_steady_events_per_sec"]
@@ -326,7 +355,7 @@ def _adaptive_scaling(
         f"local[{big}]": r_big,
         "scaling_efficiency": round(eff, 3),
         "median_scaling_efficiency": round(med_eff, 3),
-        "repeats_used": len(runs_small),
+        "repeats_used": [len(runs_small), len(runs_big)],
         "machine_cpu_scaling_ceiling": ceiling,
         "machine_probe_history": probes,
         "probe_median": round(statistics.median(probes), 3),
@@ -422,7 +451,8 @@ def _append_bench_md(
             f"| {CDC_EVENTS} | {r_small['cpus']} | {r_small['steady_events_per_sec']} "
             f"| {r_big['cpus']} | {r_big['steady_events_per_sec']} "
             f"| {round(eff, 3)} (whole-run {r_small['events_per_sec']}→{r_big['events_per_sec']}, "
-            f"repeats {r_small['repeats']}, hw probes {probes or [ceiling]}){tag} |\n"
+            f"repeats {r_small['repeats']}+{r_big['repeats']}, "
+            f"hw probes {probes or [ceiling]}){tag} |\n"
         )
 
 

@@ -346,3 +346,52 @@ def test_zero_norm_embedding_handled(spark):
     # query path survives a zero-norm row in the corpus
     got = [r["vec_id"] for r in ivf_topk(df, [1.0, 0.0], n_centroids=2, n_probe=2, k=3).collect()]
     assert got[0] == 0 and 2 == got[-1] or 2 not in got
+
+
+# ---------------------------------------------------------------------------
+# LSH-routed exact Jaccard (VERDICT r01 perf-weak: ngram_jaccard at 100x)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_via_lsh_agrees_with_exact(spark, docs):
+    """ngram_jaccard_via_lsh must be a SUBSET of the exact operator
+    (LSH can only miss pairs, never invent them) with bit-identical
+    jaccard on every shared pair, and it must recover a healthy share
+    of the exact pairs at this band setting (deterministic — md5
+    banding has no RNG)."""
+    from web3research_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_via_lsh,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=12, threshold=0.2, max_bucket_size=10**6
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_via_lsh(
+            docs, k=12, threshold=0.2, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    # 8 hashes / 4 bands catches most >=0.2 pairs on this fixture
+    assert len(lsh) >= len(exact) * 0.5
+
+
+def test_jaccard_via_lsh_plan_is_equi_join_only(spark, docs):
+    from web3research_etl_spark.operators.dedup import ngram_jaccard_via_lsh
+
+    plan = (
+        ngram_jaccard_via_lsh(docs, k=12, threshold=0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
