@@ -126,3 +126,44 @@ def test_starting_offsets_bridge(spark, tmp_table_dir):
     for p in range(4):
         assert offs[str(p)] == committed[p] + 1
     assert offs["4"] == -2 and offs["5"] == -2
+
+
+def test_cli_wire_source_end_to_end(tmp_path):
+    """CLI surface of the wire transport: gen --format wire → init
+    --source-format wire → check --source-format wire all green, and the
+    converged row count matches a plain-format init of the same seed."""
+    import subprocess
+    import sys
+    import os
+
+    def run(*args):
+        proc = subprocess.run(
+            [sys.executable, "-m", "web3research_etl_spark.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": "/root/repo"},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return proc.stdout
+
+    import json
+
+    out = run("gen", "--out", f"{tmp_path}/wire", "--events", "2000",
+              "--format", "wire")
+    assert json.loads(out.strip().splitlines()[-1])["format"] == "wire"
+
+    out = run("init", "--source", f"{tmp_path}/wire", "--table",
+              f"{tmp_path}/pages_w", "--source-format", "wire",
+              "--ledger", f"{tmp_path}/ledger_w")
+    wire_stats = json.loads(out.strip().splitlines()[-1])
+    assert wire_stats["rows"] > 0
+
+    out = run("check", "--source", f"{tmp_path}/wire", "--table",
+              f"{tmp_path}/pages_w", "--source-format", "wire")
+    rec = json.loads(out.strip().splitlines()[0])["reconcile"]
+    assert set(rec) == {"ok"}
+
+    run("gen", "--out", f"{tmp_path}/plain", "--events", "2000")
+    out = run("init", "--source", f"{tmp_path}/plain", "--table",
+              f"{tmp_path}/pages_p")
+    plain_stats = json.loads(out.strip().splitlines()[-1])
+    assert plain_stats["rows"] == wire_stats["rows"]

@@ -9,6 +9,10 @@ backfill), `sync` (unbounded tail), `check` (reconcile + heal). Ours:
         check --source DIR --table DIR [--heal]
         gen   --out DIR --events N          (synthetic changelog fixture)
 
+    All changelog-consuming commands accept ``--source-format wire`` to
+    read Kafka-wire-shaped records (sources/kafka_wire.py) instead of
+    plain changelog parquet.
+
 Also runnable locally: python -m web3research_etl_spark.cli ...
 """
 
@@ -24,6 +28,15 @@ from pyspark.sql import functions as F
 def _common(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("--table", required=True, help="lake table root dir")
     sub.add_argument("--source", required=True, help="changelog parquet dir")
+    sub.add_argument(
+        "--source-format",
+        choices=["changelog", "wire"],
+        default="changelog",
+        help="'changelog': plain CHANGELOG_SCHEMA parquet dir (default); "
+        "'wire': Kafka-wire-shaped records (sources/kafka_wire.py) — the "
+        "broker-transport stand-in, decoded by the same decode_wire a real "
+        "format('kafka') load would use",
+    )
     sub.add_argument("--ledger", default=None, help="lineage ledger dir")
     sub.add_argument(
         "--salt-partitions",
@@ -96,7 +109,25 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--events", type=int, required=True)
     gen.add_argument("--files", type=int, default=8)
     gen.add_argument("--seed", type=int, default=42)
+    gen.add_argument(
+        "--format",
+        choices=["changelog", "wire"],
+        default="changelog",
+        help="emit plain changelog parquet (default) or Kafka-wire records",
+    )
     return p
+
+
+def _read_changelog(spark, args):
+    """Batch read of the changelog in whichever transport format the
+    caller chose (wire records decode through the same codec the
+    streaming path uses)."""
+    df = spark.read.parquet(args.source)
+    if getattr(args, "source_format", "changelog") == "wire":
+        from web3research_etl_spark.sources.kafka_wire import decode_wire
+
+        df = decode_wire(df)
+    return df
 
 
 def _open_table(spark, path: str):
@@ -122,10 +153,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "gen":
         from web3research_etl_spark.changelog import write_changelog_dir
 
-        df = write_changelog_dir(
-            spark, args.out, args.events, files_per_batch=args.files, seed=args.seed
-        )
-        print(json.dumps({"written": df.count(), "path": args.out}))
+        if args.format == "wire":
+            import shutil
+            import tempfile
+
+            from web3research_etl_spark.sources.kafka_wire import write_wire_dir
+
+            tmp = tempfile.mkdtemp(prefix="w3r_gen_")
+            try:
+                df = write_changelog_dir(
+                    spark, tmp, args.events, files_per_batch=args.files, seed=args.seed
+                )
+                write_wire_dir(df, args.out)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            n = spark.read.parquet(args.out).count()
+        else:
+            df = write_changelog_dir(
+                spark, args.out, args.events, files_per_batch=args.files, seed=args.seed
+            )
+            n = df.count()
+        print(json.dumps({"written": n, "path": args.out, "format": args.format}))
         return 0
 
     from web3research_etl_spark.ledger import open_ledger
@@ -141,11 +189,19 @@ def main(argv: list[str] | None = None) -> int:
         from web3research_etl_spark.streaming.pipeline import run_sync
 
         checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="w3r_ckpt_")
+        source_stream = None
+        if getattr(args, "source_format", "changelog") == "wire":
+            from web3research_etl_spark.sources.kafka_wire import stream_changelog_wire
+
+            source_stream = stream_changelog_wire(
+                spark, args.source, max_files_per_trigger=args.batch_files
+            )
         q = run_sync(
             spark,
             args.source,
             table,
             checkpoint,
+            source=source_stream,
             ledger=ledger,
             registry=registry,
             salt_partitions=args.salt_partitions,
@@ -181,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         from web3research_etl_spark.ledger import resume_offsets
         from web3research_etl_spark.operators.apply import apply_changelog_batch
 
-        changelog = spark.read.parquet(args.source)
+        changelog = _read_changelog(spark, args)
         if args.apply_tail:
             if ledger is None:
                 print(
@@ -250,7 +306,7 @@ def main(argv: list[str] | None = None) -> int:
             reconcile_window,
         )
 
-        changelog = spark.read.parquet(args.source)
+        changelog = _read_changelog(spark, args)
         if args.since is not None:
             # bounded mode: both the expected state and any heal operate
             # on the window slice only (O(window), not O(history))
