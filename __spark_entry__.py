@@ -650,9 +650,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH ANN (rows-only check: signature sign bits near
-    zero are float-sensitive across engines; recall vs brute force is
-    pinned by tests/test_training_ops.py instead)."""
+    """Hyperplane-LSH ANN. Oracle-checked: the signature math is
+    md5-int60-derived integer plane components times float32→double
+    embedding values, summed in a fixed left-fold order — the same
+    bit-identical-across-engines recipe as the cosine oracles, so the
+    DuckDB replica reproduces every sign bit (and the driver-side qsig
+    in lsh_topk equals the vec_id=0 row's column-side signature).
+    Recall vs brute force is additionally pinned by
+    tests/test_training_ops.py."""
     from web3research_etl_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -754,6 +759,41 @@ def q_outlinks_explode(spark, sf_dir):
     )
 
 
+def q_map_type_rollup(spark, sf_dir):
+    """MapType end-to-end (SURVEY §1.3 — the reference's
+    ``Map(String,Int64)`` columns, src/ch_tron/schema.rs:173): build a
+    map<string,bigint> of per-user event-type counts with
+    map_from_entries over a sorted entry array, prune it with
+    map_filter, fold map_values with a higher-order aggregate, and
+    probe a key with try_element_at — all native map expressions
+    (codegen'd, no UDF); the output is projected flat so the oracle is
+    plain relational SQL over the same grouped counts."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    hot = m.select(
+        "user_id",
+        "type_counts",
+        F.map_filter("type_counts", lambda k, v: v >= 3).alias("hot"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731 — local SQL-shaped lambda
+        F.map_values(col), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return hot.select(
+        "user_id",
+        F.size("hot").cast("int").alias("n_hot_types"),
+        F.coalesce(F.try_element_at("hot", F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("hot_clicks"),
+        fold("hot").alias("hot_total"),
+        fold("type_counts").alias("all_total"),
+    )
+
+
 def q_kafka_wire_roundtrip(spark, sf_dir):
     """Kafka-wire source codec under the oracle gate (SURVEY §2.1
     sources; the broker-shaped transport in sources/kafka_wire.py).
@@ -820,15 +860,32 @@ def q_hex_roundtrip(spark, sf_dir):
 
 
 def q_doc_b58_fingerprint(spark, sf_dir):
-    """Base58Check document fingerprint (SURVEY F4 — no SQL equivalent
-    in DuckDB, so this is a rows-only check; the kernel is pinned by
-    known-vector unit tests instead)."""
+    """Base58Check document fingerprint (SURVEY F4). Rows-only: the
+    4-byte checksum is a double-sha256 over RAW BYTES and this DuckDB's
+    sha256() only accepts VARCHAR, so the checksum isn't SQL-expressible;
+    the kernel is pinned by known-vector unit tests instead. The base58
+    conversion itself IS oracle-gated — see doc_b58_plain."""
     from web3research_etl_spark.functions.encode import b58check_udf
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         b58check_udf(0)(F.unhex(F.md5("text"))).alias("b58_fp"),
+    )
+
+
+def q_doc_b58_plain(spark, sf_dir):
+    """Plain base58 (bitcoin alphabet) of the md5 digest — the same
+    pandas-UDF kernel as the Base58Check fingerprint minus the binary
+    checksum, which makes the whole base-256→base-58 conversion
+    (including leading-zero-byte → '1' padding) checkable against a
+    DuckDB recursive-CTE long division over a two-limb UHUGEINT."""
+    from web3research_etl_spark.functions.encode import b58encode_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        b58encode_udf(F.unhex(F.md5("text"))).alias("b58"),
     )
 
 
@@ -912,9 +969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "dispatch_fanout": q_dispatch_fanout,
         "kafka_wire_roundtrip": q_kafka_wire_roundtrip,
+        "map_type_rollup": q_map_type_rollup,
         "hex_roundtrip": q_hex_roundtrip,
         "outlinks_explode": q_outlinks_explode,
         "doc_b58_fingerprint": q_doc_b58_fingerprint,
+        "doc_b58_plain": q_doc_b58_plain,
     }
 
 
@@ -1048,6 +1107,50 @@ _COSINE = """
     list_sum(list_transform(range(1, 65),
         i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
 """
+
+
+def _ann_lsh_oracle(
+    n_planes: int = 8, dim: int = 64, max_hamming: int = 3, k: int = 10
+) -> str:
+    """DuckDB replica of operators/similarity.py:lsh_topk — hyperplane
+    signatures from md5-int60 plane components (integers, exact in
+    double), per-plane dot as a left-fold over dimensions (list_sum ==
+    Spark's chained +), signature bits from dot > 0, Hamming prune,
+    exact-cosine re-rank. The query vector is the vec_id=0 embedding, so
+    its signature row doubles as qsig."""
+    comp = (
+        "CAST(("
+        + _H60.format(x="CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+        + " % 2001 - 1000) AS DOUBLE)"
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        plane_comp AS (
+          SELECT p, d, {comp} AS comp
+          FROM range(0, {n_planes}) tp(p), range(0, {dim}) td(d)),
+        planes AS (
+          SELECT p, list(comp ORDER BY d) AS cl FROM plane_comp GROUP BY p),
+        dots AS (
+          SELECT e.vec_id, pl.p,
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * pl.cl[CAST(i AS INT)])) AS dot
+          FROM embeddings e CROSS JOIN planes pl),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN dot > 0
+                               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                      AS BIGINT) AS sig
+          FROM dots GROUP BY vec_id),
+        qsig AS (SELECT sig AS qs FROM sigs WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round({_cos_expr('e.embedding', 'q.qe')}, 6) AS cosine
+        FROM embeddings e, sigs s, q, qsig
+        WHERE s.vec_id = e.vec_id
+          AND bit_count(xor(s.sig, qsig.qs)) <= {max_hamming}
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {k}
+    """
 
 
 def _cos_expr(a: str, b: str) -> str:
@@ -1378,9 +1481,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.rn = 1 AND s.centroid_id IN (SELECT centroid_id FROM probe)
             ORDER BY cosine DESC, s.vec_id ASC LIMIT 10
         """,
-        # ann_lsh_topk intentionally omitted: hyperplane sign bits near
-        # zero are float-order-sensitive across engines → rows-only;
-        # recall vs brute force pinned by test_training_ops.
+        "ann_lsh_topk": _ann_lsh_oracle(n_planes=8, dim=64, max_hamming=3, k=10),
         "events_windowed_rates": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
                    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1430,9 +1531,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || to_hex(event_id)) AS BIGINT) AS parsed
             FROM events
         """,
-        # doc_b58_fingerprint intentionally omitted: DuckDB has no
-        # base58; the kernel is pinned by known-vector unit tests
-        # (tests/test_dispatch_and_encode.py) → rows-only check.
+        # doc_b58_fingerprint intentionally omitted: the Base58Check
+        # checksum is double-sha256 over raw bytes and DuckDB's sha256()
+        # only accepts VARCHAR → rows-only; the kernel is pinned by
+        # known-vector unit tests (tests/test_dispatch_and_encode.py).
+        # The base58 conversion itself is oracled by doc_b58_plain:
+        "doc_b58_plain": """
+            WITH RECURSIVE src AS (SELECT doc_id, md5(text) AS h FROM documents),
+            n0 AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substring(h, 1, 16)) AS UBIGINT) AS UHUGEINT)
+                       * CAST(18446744073709551616 AS UHUGEINT)
+                     + CAST(CAST(('0x' || substring(h, 17, 16)) AS UBIGINT) AS UHUGEINT)
+                       AS n,
+                     (length(h) - length(ltrim(h, '0'))) // 2 AS lead_zero_bytes
+              FROM src),
+            div(doc_id, n, digits) AS (
+              SELECT doc_id, n, '' FROM n0
+              UNION ALL
+              SELECT doc_id, n // 58,
+                     substring('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz',
+                               CAST(n % 58 AS INT) + 1, 1) || digits
+              FROM div WHERE n > 0),
+            best AS (
+              SELECT doc_id, digits,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY length(digits) DESC) AS rn
+              FROM div)
+            SELECT b.doc_id,
+                   repeat('1', CAST(n0.lead_zero_bytes AS INT)) || b.digits AS b58
+            FROM best b JOIN n0 ON n0.doc_id = b.doc_id
+            WHERE b.rn = 1
+        """,
         "media_metadata": """
             SELECT doc_id, 'image/fake' AS media_type,
                    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -1453,6 +1583,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_lsh": _ngram_jaccard_lsh_oracle(
             num_hashes=8, bands=4, threshold=0.2
         ),
+        "map_type_rollup": """
+            WITH per AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE n >= 3) AS INT) AS n_hot_types,
+                   CAST(coalesce(max(CASE WHEN event_type = 'click' AND n >= 3
+                                          THEN n END), 0) AS BIGINT) AS hot_clicks,
+                   CAST(coalesce(sum(n) FILTER (WHERE n >= 3), 0) AS BIGINT)
+                     AS hot_total,
+                   CAST(sum(n) AS BIGINT) AS all_total
+            FROM per GROUP BY user_id
+        """,
         "outlinks_explode": """
             WITH ex AS (
               SELECT user_id,

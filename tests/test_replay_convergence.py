@@ -188,6 +188,74 @@ def test_nested_array_struct_evolution_and_merge(spark, tmp_table_dir, changelog
     assert old_rows.count() > 0
 
 
+def test_map_column_evolution_and_merge(spark, tmp_table_dir, changelog_path):
+    """v5 adds `headers map<string,string>` (SURVEY §1.3: the
+    reference's Map(String, ...) columns, src/ch_tron/schema.rs:173).
+    The map column must land via the registry ALTER, parse from the
+    JSON payload (from_json map DDL), survive the LWW merge (the newer
+    row's whole map wins), read back through the old-file cast path,
+    and answer native map expressions (try_element_at / map_keys)."""
+    ch = spark.read.parquet(changelog_path)
+    reg = default_registry(spark)
+    t = _new_table(spark, tmp_table_dir, "mapcol")
+    # epoch 0: plain v3 history (files WITHOUT the headers column)
+    apply_changelog_batch(
+        t, ch.filter(F.col("payload_version") == 3), epoch_id=0, registry=reg
+    )
+
+    def v5_batch(base, tag):
+        headers = F.create_map(
+            F.lit("server"), F.lit(f"{tag}-nginx"),
+            F.lit("etag"), F.concat(F.lit(tag), F.col("event_seq").cast("string")),
+        )
+        return base.withColumn("payload_version", F.lit(5)).withColumn(
+            "payload",
+            F.to_json(
+                F.struct(
+                    F.length(F.col("html")).cast("long").alias("content_len"),
+                    headers.alias("headers"),
+                )
+            ),
+        )
+
+    live = t.read().limit(8).select("url", "event_seq").collect()
+    base = ch.join(
+        spark.createDataFrame([(r["url"],) for r in live], "url string"), "url", "left_semi"
+    ).filter(F.col("op") != "D")
+    # epoch 1: v5 rows strictly newer than anything stored → must win
+    newer = base.withColumn("event_seq", F.col("event_seq") + F.lit(10_000_000)).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(2_000_000_000) + F.col("event_seq"))
+    )
+    apply_changelog_batch(t, v5_batch(newer, "w"), epoch_id=1, registry=reg)
+    # epoch 2: v5 rows OLDER than stored → must lose, headers kept from winner
+    apply_changelog_batch(
+        t,
+        v5_batch(
+            base.withColumn("event_seq", F.col("event_seq") - F.lit(1_000_000)), "l"
+        ),
+        epoch_id=2,
+        registry=reg,
+    )
+
+    cols = dict(t.read().dtypes)
+    assert cols["headers"] == "map<string,string>"
+    got = t.read().join(
+        spark.createDataFrame([(r["url"],) for r in live], "url string"), "url", "left_semi"
+    )
+    servers = [
+        r["server"]
+        for r in got.select(
+            F.try_element_at("headers", F.lit("server")).alias("server")
+        ).collect()
+    ]
+    assert servers and all(s == "w-nginx" for s in servers)
+    # map structure survived: both keys present on every winner
+    keysets = got.select(F.array_sort(F.map_keys("headers")).alias("ks")).collect()
+    assert all(list(r["ks"]) == ["etag", "server"] for r in keysets)
+    # rows that predate v5 read back with null headers (old-file cast path)
+    assert t.read().filter(F.col("headers").isNull()).count() > 0
+
+
 def test_resume_from_ledger_offsets(spark, tmp_table_dir, changelog_path):
     ch = spark.read.parquet(changelog_path)
     half = N_EVENTS // 2

@@ -56,20 +56,49 @@ def hyperplane_signature(emb_col, dim: int, n_planes: int = 8, salt: str = ""):
     """Sign-of-dot-product signature against n_planes deterministic
     pseudo-random hyperplanes. Plane p component d = a zero-centered
     value derived from md5_int60(salt + p:d) — fixed at plan build, no
-    RNG. ``salt`` derives independent plane families (LSH bands)."""
-    from web3research_etl_spark.operators.text import md5_int60
+    RNG. ``salt`` derives independent plane families (LSH bands).
 
-    sig = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        comps = [
-            (md5_int60(F.lit(f"{salt}{p}:{d}")) % F.lit(2001) - F.lit(1000)).cast("double")
-            for d in range(dim)
+    The plane matrix rides as ONE array<array<double>> literal and the
+    signature is a fold over it (the ivf_assign_array trick): the old
+    per-(plane,dim) unrolled sum was n_planes×dim literal terms, which
+    blows the generated method past Janino's limit around 8×64 and
+    silently drops the stage out of whole-stage codegen. Components are
+    precomputed driver-side with the same md5-int60 recipe (md5 is md5
+    — bit-identical to the Spark-side F.md5 derivation this replaced,
+    and to the DuckDB oracle). Per-plane dot is a zip_with left-fold:
+    0.0 + t0 + t1 ... — IEEE-identical to the previous chained sum, so
+    every sign bit (and the DuckDB oracle) is unchanged."""
+    import hashlib
+
+    def _comp(p: int, d: int) -> float:
+        v = int(hashlib.md5(f"{salt}{p}:{d}".encode()).hexdigest()[:15], 16)
+        return float(v % 2001 - 1000)
+
+    planes = F.array(
+        *[
+            F.array(*[F.lit(_comp(p, d)) for d in range(dim)])
+            for p in range(n_planes)
         ]
-        dot = sum(
-            F.element_at(emb_col, d + 1).cast("double") * comps[d] for d in range(dim)
+    )
+
+    def _dot(plane):
+        return F.aggregate(
+            F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(
+            _dot(F.element_at(planes, p + 1)) > 0,
+            # 1<<p as a column: pow(2,p) is exact in double for p < 53
+            # (shiftleft's bit-count arg must be a Python literal)
+            F.pow(F.lit(2.0), p.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
 
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:

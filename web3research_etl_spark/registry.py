@@ -27,14 +27,18 @@ def default_registry(spark: SparkSession) -> DataFrame:
     content_len int→long; v4 adds the nested `outlinks` column — an
     array<struct> payload (SURVEY §1.1/§1.3: the reference's
     ``Nested(...)`` columns map to array<struct>,
-    src/ch_tron/schema.rs:165-170). The type string is Spark DDL and
-    flows unchanged through ALTER, from_json, and the lake read casts."""
+    src/ch_tron/schema.rs:165-170); v5 adds `headers` — a
+    map<string,string> payload (the reference's ``Map(String, ...)``
+    columns, src/ch_tron/schema.rs:173). The type string is Spark DDL
+    and flows unchanged through ALTER, from_json, and the lake read
+    casts."""
     rows = [
         (1, "content_len", "int", "add", None),
         (2, "fetch_status", "int", "add", None),
         (3, "http_status", "int", "rename", "fetch_status"),
         (3, "content_len", "bigint", "widen", None),
         (4, "outlinks", "array<struct<href:string,anchor:string>>", "add", None),
+        (5, "headers", "map<string,string>", "add", None),
     ]
     return spark.createDataFrame(rows, REGISTRY_SCHEMA)
 
