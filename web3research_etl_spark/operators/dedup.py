@@ -308,11 +308,14 @@ def _normed(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", "embedding", norm.alias("nrm"))
 
 
-_PAIR_DOT = F.aggregate(
-    F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
-    F.lit(0.0),
-    lambda acc, x: acc + x,
-)
+def _pair_dot():
+    # Built lazily: constructing a lambda-bearing Column requires an
+    # active SparkContext, which importing this module must not.
+    return F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def embedding_near_dups(
@@ -367,7 +370,7 @@ def embedding_near_dups(
         # cross-block pairs arrive in block order, not id order — canonicalize
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
-        F.round(F.try_divide(_PAIR_DOT, F.col("na") * F.col("nb")), 6).alias("cosine"),
+        F.round(F.try_divide(_pair_dot(), F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold)
 
@@ -385,7 +388,7 @@ def embedding_near_dups_brute(embeddings: DataFrame, threshold: float = 0.95) ->
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", F.round(F.try_divide(_PAIR_DOT, F.col("na") * F.col("nb")), 6).alias("cosine")
+        "id_a", "id_b", F.round(F.try_divide(_pair_dot(), F.col("na") * F.col("nb")), 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -447,7 +450,7 @@ def embedding_near_dups_lsh(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
-            "id_a", "id_b", F.round(F.try_divide(_PAIR_DOT, F.col("na") * F.col("nb")), 6).alias("cosine")
+            "id_a", "id_b", F.round(F.try_divide(_pair_dot(), F.col("na") * F.col("nb")), 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )
