@@ -224,6 +224,56 @@ def q_fanout_merge_state(spark, sf_dir):
     )
 
 
+def _two_epoch_state_table(spark, sf_dir):
+    """Shared scaffold: the events changelog applied as TWO epochs
+    (even event_ids, then odd) into a real LakeTable; returns the table
+    plus the snapshot ids after each epoch. LWW is associative over a
+    total version order, so LWW(LWW(evens), odds) == LWW(all) — which
+    is what lets pure-SQL oracles check time travel and the
+    incremental diff."""
+    from web3research_etl_spark.lake.table import LakeTable
+
+    ch = _events_changelog(spark, sf_dir).select(
+        "op", "url", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    d = _query_scratch_dir("drv_tt")
+    t = LakeTable.create(
+        spark, f"{d}/t", _EVENTS_STATE_SCHEMA(),
+        key=["url"], version_order=["ts", "event_id"], n_buckets=8,
+    )
+    ra = t.merge_changelog(ch.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    rb = t.merge_changelog(ch.filter(F.col("event_id") % 2 == 1), epoch_id=1)
+    return t, ra["snapshot_id"], rb["snapshot_id"]
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    """Time travel (SURVEY S10/T6 family; Iceberg snapshot-as-of): read
+    the table AS OF the snapshot committed by epoch 0 — after epoch 1
+    has already been applied on top. Must equal the pure-SQL LWW over
+    the even-event prefix: proves snapshots are immutable and
+    point-in-time reads see exactly the committed state."""
+    t, snap_a, _ = _two_epoch_state_table(spark, sf_dir)
+    return t.read(snapshot_id=snap_a).select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+def q_cdc_changes_between(spark, sf_dir):
+    """Incremental CDC read (Iceberg incremental-scan analog): the net
+    row-level changes between epoch 0's and epoch 1's snapshots, via
+    LakeTable.read_changes — metadata-pruned to buckets whose file
+    groups differ, then one full-outer key join classifying
+    insert/update/delete by the version tuple. The oracle recomputes
+    both states from the raw changelog and diffs them."""
+    t, snap_a, snap_b = _two_epoch_state_table(spark, sf_dir)
+    chg = t.read_changes(snap_a, snap_b)
+    return chg.select("url", "change_type", "new_event_id", "old_event_id")
+
+
 def q_cdc_tombstones(spark, sf_dir):
     """Keys whose LWW winner is a delete — the tombstone set."""
     ch = _events_changelog(spark, sf_dir)
@@ -928,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_agg": q_cdc_lww_agg,
         "cdc_merge_state": q_cdc_merge_state,
         "fanout_merge_state": q_fanout_merge_state,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_changes_between": q_cdc_changes_between,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -1188,6 +1240,43 @@ def oracle_sql() -> dict[str, str]:
               FROM routed)
             SELECT route, count(*) AS n_keys, max(event_id) AS max_event_id
             FROM ranked WHERE rn = 1 AND op <> 'D' GROUP BY route
+        """,
+        "cdc_time_travel": f"""
+            WITH changelog AS ({_CHANGELOG_SQL}),
+            ranked AS (
+              SELECT url, op, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog WHERE event_id % 2 = 0
+            )
+            SELECT url, event_id AS last_event_id, event_type AS last_event_type,
+                   round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_changes_between": f"""
+            WITH changelog AS ({_CHANGELOG_SQL}),
+            a_ranked AS (
+              SELECT url, op, event_id,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog WHERE event_id % 2 = 0
+            ),
+            a_live AS (SELECT url, event_id FROM a_ranked WHERE rn = 1 AND op <> 'D'),
+            b_ranked AS (
+              SELECT url, op, event_id,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog
+            ),
+            b_live AS (SELECT url, event_id FROM b_ranked WHERE rn = 1 AND op <> 'D')
+            SELECT coalesce(b.url, a.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'insert'
+                        WHEN b.url IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   b.event_id AS new_event_id,
+                   a.event_id AS old_event_id
+            FROM a_live a FULL OUTER JOIN b_live b ON a.url = b.url
+            WHERE a.url IS NULL OR b.url IS NULL OR a.event_id <> b.event_id
         """,
         "cdc_merge_state": f"""
             {lww}

@@ -298,3 +298,60 @@ def test_empty_and_delete_only_batches(spark, tmp_table_dir):
     )
     assert not r.get("skipped")
     assert t.read().count() == 0
+
+
+def test_read_changes_incremental_diff(spark, tmp_table_dir):
+    """Incremental CDC read between snapshots: classification matches a
+    full-state diff, and the scan is metadata-pruned to buckets whose
+    file groups actually changed (a single-key epoch diffs one bucket,
+    not the table)."""
+    t = _table(spark, tmp_table_dir, n_buckets=4)
+    r1 = t.merge_changelog(
+        _batch(
+            spark,
+            [
+                ("I", "a", 100, 1, "a1"),
+                ("I", "b", 100, 2, "b1"),
+                ("I", "c", 100, 3, "c1"),
+                ("I", "d", 100, 4, "d1"),
+            ],
+        ),
+        epoch_id=0,
+    )
+    r2 = t.merge_changelog(
+        _batch(
+            spark,
+            [
+                ("U", "a", 200, 5, "a2"),   # update
+                ("D", "b", 200, 6, None),   # delete
+                ("I", "e", 200, 7, "e1"),   # insert
+                ("U", "c", 50, 0, "stale"), # stale: loses LWW -> NOT a change
+            ],
+        ),
+        epoch_id=1,
+    )
+    chg = t.read_changes(r1["snapshot_id"], r2["snapshot_id"])
+    got = {(r["url"], r["change_type"]) for r in chg.collect()}
+    assert got == {("a", "update"), ("b", "delete"), ("e", "insert")}
+    # version columns surfaced from both sides
+    row = {r["url"]: r for r in chg.collect()}
+    assert row["a"]["new_event_seq"] == 5 and row["a"]["old_event_seq"] == 1
+    assert row["e"]["old_event_seq"] is None and row["b"]["new_event_seq"] is None
+
+    # bucket pruning: an epoch touching only key "a" must diff only
+    # a's bucket (file-group comparison is pure metadata)
+    r3 = t.merge_changelog(_batch(spark, [("U", "a", 300, 8, "a3")]), epoch_id=2)
+    assert len(r3["touched_buckets"]) == 1
+    snap_a = t.snapshot(r2["snapshot_id"])
+    snap_b = t.snapshot(r3["snapshot_id"])
+    pa = {g["bucket"]: tuple(sorted(g["paths"])) for g in snap_a["file_groups"]}
+    pb = {g["bucket"]: tuple(sorted(g["paths"])) for g in snap_b["file_groups"]}
+    changed = {b for b in set(pa) | set(pb) if pa.get(b) != pb.get(b)}
+    assert changed == set(r3["touched_buckets"])
+    got3 = {(r["url"], r["change_type"]) for r in t.read_changes(r2["snapshot_id"], r3["snapshot_id"]).collect()}
+    assert got3 == {("a", "update")}
+
+    # reversed/equal snapshot order is a contract violation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.read_changes(r2["snapshot_id"], r2["snapshot_id"])
