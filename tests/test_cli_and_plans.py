@@ -164,3 +164,59 @@ def test_scan_prunes_columns(spark):
     scan = plan[plan.index("FileScan") :]
     head = scan[:400]
     assert "text" in head and "lang" not in head and "source" not in head
+
+@pytest.mark.slow
+def test_cli_changes_between_snapshots(spark, tmp_path):
+    """`changes` subcommand: incremental diff between two snapshots,
+    counts and optional parquet sink, cross-checked against the
+    in-process read_changes result."""
+    from pyspark.sql import types as T
+
+    from web3research_etl_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("event_seq", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{tmp_path}/t", schema, key=["url"],
+        version_order=["warc_ts", "event_seq"], n_buckets=4,
+    )
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows, "op string, url string, ts_s long, event_seq long, v string"
+        )
+        return df.select(
+            "op", "url", F.timestamp_seconds("ts_s").alias("warc_ts"), "event_seq", "v"
+        )
+
+    r1 = t.merge_changelog(
+        batch([("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]), epoch_id=0
+    )
+    r2 = t.merge_changelog(
+        batch([("U", "a", 200, 3, "a2"), ("D", "b", 200, 4, None), ("I", "c", 200, 5, "c1")]),
+        epoch_id=1,
+    )
+    out = _run_cli(
+        "changes", "--table", f"{tmp_path}/t",
+        "--from-snapshot", str(r1["snapshot_id"]),
+        "--to-snapshot", str(r2["snapshot_id"]),
+        "--out", f"{tmp_path}/diff",
+    )
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["changes"] == {"insert": 1, "update": 1, "delete": 1}
+    sunk = spark.read.parquet(f"{tmp_path}/diff")
+    assert {(r["url"], r["change_type"]) for r in sunk.collect()} == {
+        ("a", "update"), ("b", "delete"), ("c", "insert"),
+    }
+    # --to-snapshot defaults to current
+    out = _run_cli(
+        "changes", "--table", f"{tmp_path}/t", "--from-snapshot", str(r1["snapshot_id"])
+    )
+    rep2 = json.loads(out.strip().splitlines()[-1])
+    assert rep2["to_snapshot"] == r2["snapshot_id"] and rep2["changes"] == rep["changes"]

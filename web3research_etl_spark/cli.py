@@ -7,6 +7,7 @@ backfill), `sync` (unbounded tail), `check` (reconcile + heal). Ours:
         init  --source DIR --table DIR [--ledger DIR] [--batch-files N]
         sync  --source DIR --table DIR --checkpoint DIR [--ledger DIR]
         check --source DIR --table DIR [--heal]
+        changes --table DIR --from-snapshot A [--to-snapshot B] [--out DIR]
         gen   --out DIR --events N          (synthetic changelog fixture)
 
     All changelog-consuming commands accept ``--source-format wire`` to
@@ -104,6 +105,30 @@ def build_parser() -> argparse.ArgumentParser:
         "live table (resume-from-checkpoint), then compare",
     )
 
+    changes = subs.add_parser(
+        "changes",
+        help="incremental CDC read: net row-level changes between two "
+        "snapshots (what a downstream consumer tails instead of "
+        "re-diffing full states)",
+    )
+    changes.add_argument("--table", required=True, help="lake table root dir")
+    changes.add_argument(
+        "--from-snapshot", dest="from_snapshot", type=int, required=True
+    )
+    changes.add_argument(
+        "--to-snapshot",
+        dest="to_snapshot",
+        type=int,
+        default=None,
+        help="defaults to the current snapshot",
+    )
+    changes.add_argument(
+        "--out",
+        default=None,
+        help="write the change rows as parquet here (otherwise only "
+        "per-type counts are printed)",
+    )
+
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
     gen.add_argument("--out", required=True)
     gen.add_argument("--events", type=int, required=True)
@@ -174,6 +199,33 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = df.count()
         print(json.dumps({"written": n, "path": args.out, "format": args.format}))
+        return 0
+
+    if args.cmd == "changes":
+        table = _open_table(spark, args.table)
+        to_id = (
+            args.to_snapshot
+            if args.to_snapshot is not None
+            else table.current_snapshot()["snapshot_id"]
+        )
+        chg = table.read_changes(args.from_snapshot, to_id)
+        if args.out:
+            chg.write.parquet(args.out)
+            chg = spark.read.parquet(args.out)  # count what was written
+        counts = {
+            r["change_type"]: r["n"]
+            for r in chg.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "from_snapshot": args.from_snapshot,
+                    "to_snapshot": to_id,
+                    "changes": counts,
+                    "out": args.out,
+                }
+            )
+        )
         return 0
 
     from web3research_etl_spark.ledger import open_ledger
