@@ -1,0 +1,123 @@
+"""Materialized CDC feed: per-snapshot diffs published once, tailed by
+a Structured Streaming consumer, crash-idempotent republish."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from web3research_etl_spark.lake.cdc_feed import (
+    feed_schema,
+    publish_changes,
+    stream_feed,
+)
+from web3research_etl_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _table(spark, d):
+    return LakeTable.create(
+        spark,
+        os.path.join(d, "t"),
+        SCHEMA,
+        key=["url"],
+        version_order=["warc_ts", "event_seq"],
+        n_buckets=4,
+    )
+
+
+def _batch(spark, rows):
+    df = spark.createDataFrame(
+        rows, "op string, url string, ts_s long, event_seq long, v string"
+    )
+    return df.select(
+        "op", "url", F.timestamp_seconds("ts_s").alias("warc_ts"), "event_seq", "v"
+    )
+
+
+def test_publish_and_stream_feed(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    feed = f"{tmp_path}/feed"
+    r1 = t.merge_changelog(
+        _batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]), epoch_id=7
+    )
+    r2 = t.merge_changelog(
+        _batch(spark, [("U", "a", 200, 3, "a2"), ("D", "b", 200, 4, None)]), epoch_id=8
+    )
+
+    rep = publish_changes(t, feed)
+    assert rep["published"] == [r1["snapshot_id"], r2["snapshot_id"]]
+    assert rep["through"] == t.current_snapshot()["snapshot_id"]
+
+    # epoch provenance travels with every change row
+    rows = spark.read.schema(feed_schema(t)).parquet(f"{feed}/s*").collect()
+    by = {(r["snapshot_id"], r["url"]): r for r in rows}
+    assert by[(r1["snapshot_id"], "a")]["change_type"] == "insert"
+    assert by[(r1["snapshot_id"], "a")]["epoch_id"] == 7
+    assert by[(r2["snapshot_id"], "a")]["change_type"] == "update"
+    assert by[(r2["snapshot_id"], "b")]["change_type"] == "delete"
+    assert by[(r2["snapshot_id"], "b")]["epoch_id"] == 8
+
+    # streaming consumer: tail the feed like a topic
+    q = (
+        stream_feed(spark, t, feed)
+        .writeStream.format("memory")
+        .queryName("feed_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["snapshot_id"], r["url"], r["change_type"])
+        for r in spark.sql("SELECT * FROM feed_tail").collect()
+    }
+    assert got == {
+        (r1["snapshot_id"], "a", "insert"),
+        (r1["snapshot_id"], "b", "insert"),
+        (r2["snapshot_id"], "a", "update"),
+        (r2["snapshot_id"], "b", "delete"),
+    }
+
+    # incremental: a later epoch publishes ONLY its own snapshot
+    r3 = t.merge_changelog(_batch(spark, [("I", "c", 300, 5, "c1")]), epoch_id=9)
+    rep2 = publish_changes(t, feed)
+    assert rep2["published"] == [r3["snapshot_id"]]
+
+    # re-publish with no new snapshots is a no-op
+    assert publish_changes(t, feed)["published"] == []
+
+
+def test_publish_crash_idempotent_and_skips_metadata_snapshots(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    feed = f"{tmp_path}/feed"
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=0)
+    publish_changes(t, feed)
+    before = {
+        (r["snapshot_id"], r["url"], r["change_type"])
+        for r in spark.read.schema(feed_schema(t)).parquet(f"{feed}/s*").collect()
+    }
+
+    # simulate a publisher crash before the state bump: forget state,
+    # republish — overwrite lands the same rows, no duplicates on disk
+    os.remove(f"{feed}/_feed_state.json")
+    publish_changes(t, feed)
+    after = {
+        (r["snapshot_id"], r["url"], r["change_type"])
+        for r in spark.read.schema(feed_schema(t)).parquet(f"{feed}/s*").collect()
+    }
+    assert after == before
+
+    # schema evolution commits a snapshot but rewrites no data files —
+    # the feed must stay silent for it
+    t.alter([{"change": "add", "name": "extra", "type": "string"}])
+    rep = publish_changes(t, feed)
+    assert rep["published"] == []
+    assert rep["through"] == t.current_snapshot()["snapshot_id"]
