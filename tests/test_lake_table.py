@@ -355,3 +355,24 @@ def test_read_changes_incremental_diff(spark, tmp_table_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.read_changes(r2["snapshot_id"], r2["snapshot_id"])
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_table_dir):
+    """A schema evolution (here: renaming a version column) between the
+    two snapshots must not break the diff: both sides resolve through
+    the newer snapshot's field-id map, so rows line up under the NEW
+    column names."""
+    t = _table(spark, tmp_table_dir, n_buckets=4)
+    r1 = t.merge_changelog(
+        _batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]), epoch_id=0
+    )
+    t.alter([{"change": "rename", "name": "seq_no", "renamed_from": "event_seq"}])
+    df = spark.createDataFrame(
+        [("U", "a", 200, 3, "a2")],
+        "op string, url string, ts_s long, seq_no long, v string",
+    ).select("op", "url", F.timestamp_seconds("ts_s").alias("warc_ts"), "seq_no", "v")
+    r2 = t.merge_changelog(df, epoch_id=1)
+    chg = t.read_changes(r1["snapshot_id"], r2["snapshot_id"])
+    rows = {r["url"]: r for r in chg.collect()}
+    assert set(rows) == {"a"} and rows["a"]["change_type"] == "update"
+    assert rows["a"]["new_seq_no"] == 3 and rows["a"]["old_seq_no"] == 1

@@ -247,8 +247,15 @@ class LakeTable:
                 by_name[ch["name"]]["type"] = ch["type"]
             else:
                 raise ValueError(f"unknown change kind: {kind}")
+        # renames must follow through to the key/version-order specs —
+        # otherwise the next merge would reference the dead name
+        renames = {
+            ch["renamed_from"]: ch["name"] for ch in changes if ch["change"] == "rename"
+        }
         new_schema_id = max(int(k) for k in snap["schemas"]) + 1
         new = dict(snap)
+        new["key"] = [renames.get(c, c) for c in snap["key"]]
+        new["version_order"] = [renames.get(c, c) for c in snap["version_order"]]
         new["snapshot_id"] = snap["snapshot_id"] + 1
         new["parent"] = snap["snapshot_id"]
         new["operation"] = "alter"
@@ -337,9 +344,17 @@ class LakeTable:
 
         def _live(snap: dict) -> DataFrame | None:
             groups = [fg for fg in snap["file_groups"] if fg["bucket"] in changed]
+            # Both sides are projected through snap_b's schema map: the
+            # schemas dict is append-only by field id, so the OLDER
+            # snapshot's files resolve through it too — which makes the
+            # diff correct across a schema evolution between the two
+            # snapshots (a key/version column renamed in between still
+            # joins under its NEW name; field ids line the rows up).
+            view = dict(snap_b)
+            view["file_groups"] = groups
             # tombstones excluded: a tombstoned key is "absent" for diff
             # purposes (delete shows up as live→missing)
-            return self._read_groups(snap, groups, include_deleted=False)
+            return self._read_groups(view, groups, include_deleted=False)
 
         old = _live(snap_a)
         new = _live(snap_b)
