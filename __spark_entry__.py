@@ -1268,15 +1268,20 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM changelog
             ),
-            b_live AS (SELECT url, event_id FROM b_ranked WHERE rn = 1 AND op <> 'D')
-            SELECT coalesce(b.url, a.url) AS url,
+            -- the full-changelog winner INCLUDING deletes: the lake keeps
+            -- the tombstone's version, and read_changes surfaces it as
+            -- new_event_id on delete rows (b's events are a superset of
+            -- a's, so every a-key has a b winner — LEFT JOIN suffices)
+            b_win AS (SELECT url, op, event_id FROM b_ranked WHERE rn = 1)
+            SELECT b.url AS url,
                    CASE WHEN a.url IS NULL THEN 'insert'
-                        WHEN b.url IS NULL THEN 'delete'
+                        WHEN b.op = 'D' THEN 'delete'
                         ELSE 'update' END AS change_type,
                    b.event_id AS new_event_id,
                    a.event_id AS old_event_id
-            FROM a_live a FULL OUTER JOIN b_live b ON a.url = b.url
-            WHERE a.url IS NULL OR b.url IS NULL OR a.event_id <> b.event_id
+            FROM b_win b LEFT JOIN a_live a ON a.url = b.url
+            WHERE (a.url IS NULL AND b.op <> 'D')
+               OR (a.url IS NOT NULL AND (b.op = 'D' OR a.event_id <> b.event_id))
         """,
         "cdc_merge_state": f"""
             {lww}

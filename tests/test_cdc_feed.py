@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from web3research_etl_spark.lake.cdc_feed import (
+    apply_feed,
     feed_schema,
     publish_changes,
     stream_feed,
@@ -121,3 +122,52 @@ def test_publish_crash_idempotent_and_skips_metadata_snapshots(spark, tmp_path):
     rep = publish_changes(t, feed)
     assert rep["published"] == []
     assert rep["through"] == t.current_snapshot()["snapshot_id"]
+
+
+def test_payload_feed_replicates_to_mirror(spark, tmp_path):
+    """The full replication loop: source merges (inserts, updates, a
+    delete, a stale update, a post-delete re-insert) → payload feed →
+    apply_feed into a mirror table per snapshot → mirror live state
+    content-hash EQUALS the source's. Deletes order correctly because
+    the feed carries the tombstone's version."""
+    import glob
+
+    src = _table(spark, f"{tmp_path}/src")
+    feed = f"{tmp_path}/feed"
+    src.merge_changelog(
+        _batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]), epoch_id=0
+    )
+    src.merge_changelog(
+        _batch(
+            spark,
+            [
+                ("U", "a", 200, 3, "a2"),
+                ("D", "b", 200, 4, None),
+                ("U", "a", 50, 0, "stale"),  # loses LWW: must not surface
+            ],
+        ),
+        epoch_id=1,
+    )
+    src.merge_changelog(
+        _batch(spark, [("I", "b", 300, 5, "b-back"), ("I", "c", 300, 6, "c1")]),
+        epoch_id=2,
+    )
+    publish_changes(src, feed, payloads=True)
+
+    mirror = LakeTable.create(
+        spark, f"{tmp_path}/mirror", SCHEMA, key=["url"],
+        version_order=["warc_ts", "event_seq"], n_buckets=4,
+    )
+    schema = feed_schema(src, payloads=True)
+    batch_dirs = sorted(glob.glob(f"{feed}/s*"))
+    assert len(batch_dirs) == 3
+    for i, sdir in enumerate(batch_dirs):
+        apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=i)
+    assert mirror.state_hash() == src.state_hash()
+    got = {(r["url"], r["v"]) for r in mirror.read().collect()}
+    assert got == {("a", "a2"), ("b", "b-back"), ("c", "c1")}
+
+    # feed redelivery is a no-op under the mirror's epoch markers
+    h = mirror.state_hash()
+    r = apply_feed(mirror, spark.read.schema(schema).parquet(batch_dirs[-1]), epoch_id=2)
+    assert r.get("skipped") and mirror.state_hash() == h

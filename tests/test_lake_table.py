@@ -336,7 +336,9 @@ def test_read_changes_incremental_diff(spark, tmp_table_dir):
     # version columns surfaced from both sides
     row = {r["url"]: r for r in chg.collect()}
     assert row["a"]["new_event_seq"] == 5 and row["a"]["old_event_seq"] == 1
-    assert row["e"]["old_event_seq"] is None and row["b"]["new_event_seq"] is None
+    # the delete carries its tombstone's version (event 6), so a
+    # downstream LWW consumer can order it; the insert has no old side
+    assert row["e"]["old_event_seq"] is None and row["b"]["new_event_seq"] == 6
 
     # bucket pruning: an epoch touching only key "a" must diff only
     # a's bucket (file-group comparison is pure metadata)

@@ -55,17 +55,21 @@ def _store_state(out_dir: str, state: dict) -> None:
     os.replace(tmp, _state_path(out_dir))
 
 
-def feed_schema(table) -> T.StructType:
+def feed_schema(table, payloads: bool = False) -> T.StructType:
     """The feed's fixed schema: key columns + change_type + both sides'
-    version columns + provenance (snapshot_id, epoch_id)."""
+    version columns (+ the newer side's payload columns when the feed
+    was published with ``payloads=True``) + provenance."""
     snap = table.current_snapshot()
     key, vorder = set(snap["key"]), snap["version_order"]
-    ver_fields = [f for f in table.schema(snap).fields if f.name in set(vorder)]
+    fields = table.schema(snap).fields
+    ver_fields = [f for f in fields if f.name in set(vorder)]
+    pay_fields = [f for f in fields if f.name not in key | set(vorder)] if payloads else []
     return T.StructType(
-        [f for f in table.schema(snap).fields if f.name in key]
+        [f for f in fields if f.name in key]
         + [T.StructField("change_type", T.StringType(), False)]
         + [T.StructField(f"new_{f.name}", f.dataType, True) for f in ver_fields]
         + [T.StructField(f"old_{f.name}", f.dataType, True) for f in ver_fields]
+        + [T.StructField(f.name, f.dataType, True) for f in pay_fields]
         + [
             T.StructField("snapshot_id", T.LongType(), False),
             T.StructField("epoch_id", T.LongType(), True),
@@ -87,8 +91,12 @@ def _epoch_of(table, snap: dict) -> Any:
     return epochs[-1] if len(epochs) > len(parent_epochs) else None
 
 
-def publish_changes(table, out_dir: str) -> dict:
+def publish_changes(table, out_dir: str, payloads: bool = False) -> dict:
     """Publish every not-yet-published data snapshot's diff to the feed.
+
+    ``payloads=True`` rides the newer side's data columns along with
+    every insert/update row (null for deletes) — a feed a downstream
+    mirror can replicate from (see ``apply_feed``).
 
     Returns {"published": [snapshot ids], "through": last_id}. Pure
     metadata snapshots (schema evolution, compaction that rewrote no
@@ -109,7 +117,7 @@ def publish_changes(table, out_dir: str) -> dict:
             state["published_through"] = sid
             _store_state(out_dir, state)
             continue
-        chg = table.read_changes(parent, sid)
+        chg = table.read_changes(parent, sid, include_payload=payloads)
         epoch = _epoch_of(table, snap)
         out = chg.withColumn("snapshot_id", F.lit(sid).cast("long")).withColumn(
             "epoch_id",
@@ -126,8 +134,29 @@ def publish_changes(table, out_dir: str) -> dict:
     return {"published": published, "through": state["published_through"]}
 
 
-def stream_feed(spark, table, out_dir: str) -> DataFrame:
+def stream_feed(spark, table, out_dir: str, payloads: bool = False) -> DataFrame:
     """Tail the materialized feed as a Structured Streaming source."""
-    return spark.readStream.schema(feed_schema(table)).option(
+    return spark.readStream.schema(feed_schema(table, payloads=payloads)).option(
         "pathGlobFilter", "*.parquet"
     ).parquet(os.path.join(out_dir, "s*"))
+
+
+def apply_feed(mirror, feed: DataFrame, epoch_id) -> dict:
+    """Replicate a payload feed batch into a mirror LakeTable.
+
+    Change rows map straight onto changelog ops (insert/update → U,
+    delete → D) with the NEW-side version columns restored to their
+    table names — deletes carry their tombstone's version, so LWW
+    ordering in the mirror matches the source. Idempotent under the
+    mirror's own epoch markers; applying every feed batch in snapshot
+    order reproduces the source's live state exactly (test-pinned by
+    content hash).
+    """
+    snap = mirror.current_snapshot()
+    vorder = snap["version_order"]
+    op = F.when(F.col("change_type") == "delete", F.lit("D")).otherwise(F.lit("U"))
+    restored = feed.withColumn("op", op)
+    for v in vorder:
+        restored = restored.withColumn(v, F.col(f"new_{v}"))
+    data_cols = [f.name for f in mirror.schema(snap).fields]
+    return mirror.merge_changelog(restored.select("op", *data_cols), epoch_id=epoch_id)

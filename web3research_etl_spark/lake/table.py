@@ -293,7 +293,12 @@ class LakeTable:
             return self.spark.createDataFrame([], target)
         return out
 
-    def read_changes(self, from_snapshot_id: int, to_snapshot_id: int) -> DataFrame:
+    def read_changes(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int,
+        include_payload: bool = False,
+    ) -> DataFrame:
         """Incremental CDC read: net row-level changes between two
         snapshots (the Iceberg `incremental scan` / CDC-read analog —
         what a downstream consumer tails instead of re-diffing full
@@ -307,16 +312,24 @@ class LakeTable:
         of 4096 buckets diffs 3 buckets, not the table. Within changed
         buckets: one full-outer join on the key (both sides are already
         key-bucketed files; the join is the minimal information
-        exchange), classifying per key by the version tuple:
+        exchange), classifying per key by liveness + the version tuple:
 
         - ``insert``: key live only in the newer snapshot;
-        - ``delete``: key live only in the older (tombstoned/vacuumed);
+        - ``delete``: key live in the older, tombstoned/absent in the
+          newer. The tombstone's version is surfaced as ``new_<col>``
+          (tombstones keep their version), so a downstream LWW consumer
+          can order the delete correctly; only a vacuumed tombstone
+          leaves ``new_<col>`` null;
         - ``update``: live in both with a different version-order tuple
           (LWW: equal version == same winning row == no change, and
           those rows are filtered out).
 
         Returns key columns + ``change_type`` + the version-order
-        columns of both sides as ``new_<col>`` / ``old_<col>``.
+        columns as ``new_<col>`` / ``old_<col>`` (``old_`` is the prior
+        LIVE version — null for inserts, even over a tombstone). With
+        ``include_payload=True`` the newer side's remaining data columns
+        ride along (null for deletes) — enough to replicate the table:
+        feed each row back through ``merge_changelog`` with op I/U/D.
         """
         if to_snapshot_id <= from_snapshot_id:
             raise ValueError("read_changes requires from_snapshot_id < to_snapshot_id")
@@ -332,17 +345,24 @@ class LakeTable:
 
         pa, pb = _paths_by_bucket(snap_a), _paths_by_bucket(snap_b)
         changed = {b for b in set(pa) | set(pb) if pa.get(b) != pb.get(b)}
-        ver_fields = [f for f in self.schema(snap_b).fields if f.name in set(vorder)]
+        schema_b = self.schema(snap_b)
+        ver_fields = [f for f in schema_b.fields if f.name in set(vorder)]
+        payload_fields = (
+            [f for f in schema_b.fields if f.name not in set(key) | set(vorder)]
+            if include_payload
+            else []
+        )
         out_schema = T.StructType(
-            [f for f in self.schema(snap_b).fields if f.name in set(key)]
+            [f for f in schema_b.fields if f.name in set(key)]
             + [T.StructField("change_type", T.StringType(), False)]
             + [T.StructField(f"new_{f.name}", f.dataType, True) for f in ver_fields]
             + [T.StructField(f"old_{f.name}", f.dataType, True) for f in ver_fields]
+            + [T.StructField(f.name, f.dataType, True) for f in payload_fields]
         )
         if not changed:
             return self.spark.createDataFrame([], out_schema)
 
-        def _live(snap: dict) -> DataFrame | None:
+        def _side(snap: dict) -> DataFrame:
             groups = [fg for fg in snap["file_groups"] if fg["bucket"] in changed]
             # Both sides are projected through snap_b's schema map: the
             # schemas dict is append-only by field id, so the OLDER
@@ -350,41 +370,55 @@ class LakeTable:
             # diff correct across a schema evolution between the two
             # snapshots (a key/version column renamed in between still
             # joins under its NEW name; field ids line the rows up).
+            # Tombstones are READ (include_deleted) so a delete can carry
+            # its version; liveness is classified off the flag below.
             view = dict(snap_b)
             view["file_groups"] = groups
-            # tombstones excluded: a tombstoned key is "absent" for diff
-            # purposes (delete shows up as live→missing)
-            return self._read_groups(view, groups, include_deleted=False)
+            df = self._read_groups(view, groups, include_deleted=True)
+            if df is None:
+                df = self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        schema_b.fields
+                        + [T.StructField(_DELETED_COL, T.BooleanType(), True)]
+                    ),
+                )
+            return df
 
-        old = _live(snap_a)
-        new = _live(snap_b)
-        sel_key = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key]
-        sel_ver = [F.col(f"n.{v}").alias(f"new_{v}") for v in vorder] + [
-            F.col(f"o.{v}").alias(f"old_{v}") for v in vorder
-        ]
-        empty_side = self.spark.createDataFrame(
-            [], T.StructType([f for f in self.schema(snap_b).fields if f.name in set(key) | set(vorder)])
-        )
-        old_k = (old.select(*key, *vorder) if old is not None else empty_side).alias("o")
-        new_k = (new.select(*key, *vorder) if new is not None else empty_side).alias("n")
+        pay_names = [f.name for f in payload_fields]
+        old_k = _side(snap_a).select(*key, *vorder, _DELETED_COL).alias("o")
+        new_k = _side(snap_b).select(*key, *vorder, *pay_names, _DELETED_COL).alias("n")
         cond = None
         for k in key:
             c = F.col(f"o.{k}") == F.col(f"n.{k}")
             cond = c if cond is None else cond & c
         joined = old_k.join(new_k, cond, "full_outer")
+        old_live = F.col(f"o.{key[0]}").isNotNull() & ~F.coalesce(
+            F.col(f"o.{_DELETED_COL}"), F.lit(False)
+        )
+        new_live = F.col(f"n.{key[0]}").isNotNull() & ~F.coalesce(
+            F.col(f"n.{_DELETED_COL}"), F.lit(False)
+        )
         ver_differs = None
         for v in vorder:
             c = ~F.col(f"o.{v}").eqNullSafe(F.col(f"n.{v}"))
             ver_differs = c if ver_differs is None else ver_differs | c
         change = (
-            F.when(F.col(f"o.{key[0]}").isNull(), F.lit("insert"))
-            .when(F.col(f"n.{key[0]}").isNull(), F.lit("delete"))
-            .when(ver_differs, F.lit("update"))
+            F.when(~old_live & new_live, F.lit("insert"))
+            .when(old_live & ~new_live, F.lit("delete"))
+            .when(old_live & new_live & ver_differs, F.lit("update"))
         )
+        sel_key = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key]
+        # old_ = prior LIVE version (an insert over a tombstone reports
+        # null old_, matching its "insert" classification)
+        sel_ver = [F.col(f"n.{v}").alias(f"new_{v}") for v in vorder] + [
+            F.when(old_live, F.col(f"o.{v}")).alias(f"old_{v}") for v in vorder
+        ]
+        sel_pay = [F.col(f"n.{p}").alias(p) for p in pay_names]
         return (
             joined.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
-            .select(*sel_key, "change_type", *sel_ver)
+            .select(*sel_key, "change_type", *sel_ver, *sel_pay)
         )
 
     # --------------------------------------------------------------- write
