@@ -171,3 +171,48 @@ def test_payload_feed_replicates_to_mirror(spark, tmp_path):
     h = mirror.state_hash()
     r = apply_feed(mirror, spark.read.schema(schema).parquet(batch_dirs[-1]), epoch_id=2)
     assert r.get("skipped") and mirror.state_hash() == h
+
+
+def test_run_sync_publishes_feed_and_mirror_converges(spark, tmp_path):
+    """Pipeline-level CDC production: run_sync(feed_dir=...) publishes
+    each epoch's diff right after its merge commits; a mirror table
+    replicated purely from the payload feed converges to the live
+    table's content hash."""
+    import glob
+
+    from web3research_etl_spark.changelog import write_changelog_dir
+    from web3research_etl_spark.schemas import (
+        PAGES_KEY,
+        PAGES_SCHEMA,
+        PAGES_VERSION_ORDER,
+    )
+    from web3research_etl_spark.streaming.pipeline import run_sync
+
+    write_changelog_dir(spark, f"{tmp_path}/ch", 2000, files_per_batch=4)
+    t = LakeTable.create(
+        spark, f"{tmp_path}/pages", PAGES_SCHEMA, key=PAGES_KEY,
+        version_order=PAGES_VERSION_ORDER, n_buckets=8,
+    )
+    q = run_sync(
+        spark,
+        f"{tmp_path}/ch",
+        t,
+        f"{tmp_path}/ckpt",
+        available_now=True,
+        max_files_per_trigger=2,  # force multiple epochs
+        feed_dir=f"{tmp_path}/feed",
+        feed_payloads=True,
+    )
+    q.awaitTermination(300)
+
+    batch_dirs = sorted(glob.glob(f"{tmp_path}/feed/s*"))
+    assert len(batch_dirs) >= 2  # one per epoch's merge snapshot
+
+    mirror = LakeTable.create(
+        spark, f"{tmp_path}/mirror", PAGES_SCHEMA, key=PAGES_KEY,
+        version_order=PAGES_VERSION_ORDER, n_buckets=8,
+    )
+    schema = feed_schema(t, payloads=True)
+    for i, sdir in enumerate(batch_dirs):
+        apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=i)
+    assert mirror.state_hash() == t.state_hash()

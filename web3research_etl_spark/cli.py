@@ -65,11 +65,27 @@ def build_parser() -> argparse.ArgumentParser:
             "stays the idempotency backstop either way.",
         )
 
+    def _feed_flags(sub: argparse.ArgumentParser) -> None:
+        sub.add_argument(
+            "--feed",
+            default=None,
+            metavar="DIR",
+            help="publish each epoch's incremental diff to this materialized "
+            "CDC feed directory after the merge commits (lake/cdc_feed)",
+        )
+        sub.add_argument(
+            "--feed-payloads",
+            action="store_true",
+            help="ride the new-side data columns along in the feed "
+            "(replication-capable; see cdc_feed.apply_feed)",
+        )
+
     init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
     _common(init)
     init.add_argument("--batch-files", type=int, default=None, help="maxFilesPerTrigger")
     init.add_argument("--checkpoint", default=None)
     _dedup_flag(init)
+    _feed_flags(init)
 
     sync = subs.add_parser("sync", help="unbounded streaming tail")
     _common(sync)
@@ -77,6 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     sync.add_argument("--trigger", default="5 seconds")
     sync.add_argument("--batch-files", type=int, default=None)
     _dedup_flag(sync)
+    _feed_flags(sync)
 
     check = subs.add_parser("check", help="reconcile stored state vs changelog; optionally heal")
     _common(check)
@@ -261,6 +278,8 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.batch_files,
             processing_time=getattr(args, "trigger", "5 seconds"),
             dedup_watermark=getattr(args, "dedup_watermark", None),
+            feed_dir=getattr(args, "feed", None),
+            feed_payloads=getattr(args, "feed_payloads", False),
         )
         if args.cmd == "init":
             q.awaitTermination()

@@ -53,9 +53,20 @@ def run_sync(
     processing_time: str = "5 seconds",
     dedup_watermark: str | None = None,
     source: DataFrame | None = None,
+    feed_dir: str | None = None,
+    feed_payloads: bool = False,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
+
+    ``feed_dir`` turns the pipeline into a CDC *producer* as well as a
+    consumer: after each epoch's merge commits, the snapshot's
+    incremental diff is published to the materialized change feed
+    (lake/cdc_feed.publish_changes) for downstream consumers to tail.
+    Publishing is outside the commit path — a crash after the merge but
+    before the publish is healed by the next epoch's publish pass,
+    which drains ALL unpublished snapshots (at-least-once feed,
+    idempotent per-snapshot directories).
 
     ``dedup_watermark`` (e.g. ``"2 hours"``) inserts a
     dropDuplicatesWithinWatermark stage ahead of the sink: re-delivered
@@ -96,6 +107,10 @@ def run_sync(
             registry=registry,
             salt_partitions=salt_partitions,
         )
+        if feed_dir is not None:
+            from web3research_etl_spark.lake.cdc_feed import publish_changes
+
+            publish_changes(table, feed_dir, payloads=feed_payloads)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)
