@@ -274,6 +274,24 @@ def q_cdc_changes_between(spark, sf_dir):
     return chg.select("url", "change_type", "new_event_id", "old_event_id")
 
 
+def q_cdc_feed(spark, sf_dir):
+    """The materialized CDC feed under the oracle gate: publish both
+    epochs' per-snapshot diffs (lake/cdc_feed.publish_changes — each
+    computed bucket-pruned, once, by the publisher) and read the feed
+    back. Epoch 0's entry is the even-events converged state as
+    inserts; epoch 1's is the incremental diff with tombstone-versioned
+    deletes. The oracle reconstructs both from the raw changelog."""
+    from web3research_etl_spark.lake.cdc_feed import feed_schema, publish_changes
+
+    t, _, _ = _two_epoch_state_table(spark, sf_dir)
+    d = _query_scratch_dir("drv_feed")
+    publish_changes(t, f"{d}/feed")
+    df = spark.read.schema(feed_schema(t)).parquet(f"{d}/feed/s*")
+    return df.select(
+        "url", "change_type", "new_event_id", "old_event_id", "snapshot_id", "epoch_id"
+    )
+
+
 def q_cdc_tombstones(spark, sf_dir):
     """Keys whose LWW winner is a delete — the tombstone set."""
     ch = _events_changelog(spark, sf_dir)
@@ -980,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_merge_state": q_fanout_merge_state,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changes_between": q_cdc_changes_between,
+        "cdc_feed": q_cdc_feed,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -1279,6 +1298,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'update' END AS change_type,
                    b.event_id AS new_event_id,
                    a.event_id AS old_event_id
+            FROM b_win b LEFT JOIN a_live a ON a.url = b.url
+            WHERE (a.url IS NULL AND b.op <> 'D')
+               OR (a.url IS NOT NULL AND (b.op = 'D' OR a.event_id <> b.event_id))
+        """,
+        "cdc_feed": f"""
+            WITH changelog AS ({_CHANGELOG_SQL}),
+            a_ranked AS (
+              SELECT url, op, event_id,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog WHERE event_id % 2 = 0
+            ),
+            a_live AS (SELECT url, event_id FROM a_ranked WHERE rn = 1 AND op <> 'D'),
+            b_ranked AS (
+              SELECT url, op, event_id,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog
+            ),
+            b_win AS (SELECT url, op, event_id FROM b_ranked WHERE rn = 1)
+            -- snapshot 1 = epoch 0's merge: everything live after the
+            -- even-events prefix arrives as inserts (empty table before)
+            SELECT url, 'insert' AS change_type, event_id AS new_event_id,
+                   CAST(NULL AS BIGINT) AS old_event_id,
+                   CAST(1 AS BIGINT) AS snapshot_id, CAST(0 AS BIGINT) AS epoch_id
+            FROM a_live
+            UNION ALL
+            -- snapshot 2 = epoch 1's merge: the incremental diff, with
+            -- deletes carrying their tombstone's version
+            SELECT b.url AS url,
+                   CASE WHEN a.url IS NULL THEN 'insert'
+                        WHEN b.op = 'D' THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   b.event_id AS new_event_id,
+                   a.event_id AS old_event_id,
+                   CAST(2 AS BIGINT) AS snapshot_id, CAST(1 AS BIGINT) AS epoch_id
             FROM b_win b LEFT JOIN a_live a ON a.url = b.url
             WHERE (a.url IS NULL AND b.op <> 'D')
                OR (a.url IS NOT NULL AND (b.op = 'D' OR a.event_id <> b.event_id))
