@@ -980,6 +980,72 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_plan(attach_media(_t(spark, sf_dir, "documents")), every_n=10)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Candidate pairs → duplicate CLUSTERS: connected components over
+    the minhash-LSH pair graph (same params as the oracled
+    minhash_lsh_candidates query, so the oracle reuses its CTEs), every
+    document assigned a cluster id (min reachable doc_id), canonical
+    keeper flagged. operators/cluster.py — iterative min-label
+    propagation with pointer jumping; the DuckDB oracle computes the
+    same fixpoint as a recursive reachability CTE."""
+    from web3research_etl_spark.operators.cluster import dup_clusters
+    from web3research_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, k=12, num_hashes=8, bands=4).select(
+        "doc_a", "doc_b"
+    )
+    return dup_clusters(docs, pairs)
+
+
+def q_doc_sample_frac(spark, sf_dir):
+    """Deterministic keyed-hash corpus sample (operators/sample.py):
+    membership is a pure function of doc_id — reproducible across
+    partitionings, retries, and engines (no RNG)."""
+    from web3research_etl_spark.operators.sample import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, salt="corpus").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_doc_sample_stratified(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample: hash-rank row_number
+    within each lang (the reservoir-sampling equivalent that a replayed
+    micro-batch reproduces bit-identically)."""
+    from web3research_etl_spark.operators.sample import stratified_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_topk(docs, "lang", "doc_id", k=25, salt="corpus").select(
+        "lang", "doc_id", "sample_rank"
+    )
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation funnel over the corpus — quality gate →
+    exact dedup (keep min doc per content hash) → language ID → per-
+    predicted-language corpus stats. Composes three oracled operators
+    into the one query a training-data pipeline actually runs; all
+    JVM-side expressions, two shuffles (dedup groupBy + final agg)."""
+    from web3research_etl_spark.operators.dedup import exact_dedup
+    from web3research_etl_spark.operators.text import lang_id_sql, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = (
+        quality_score(docs)
+        .filter(F.col("passes_quality") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    lang = lang_id_sql(docs).select("doc_id", "lang_pred")
+    kept = q.join(keep, "doc_id").join(lang, "doc_id")
+    return kept.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1045,6 +1111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks_explode": q_outlinks_explode,
         "doc_b58_fingerprint": q_doc_b58_fingerprint,
         "doc_b58_plain": q_doc_b58_plain,
+        "dup_clusters": q_dup_clusters,
+        "doc_sample_frac": q_doc_sample_frac,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1761,5 +1831,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT struct_extract(l, 'anchor')) AS BIGINT)
                      AS n_anchors
             FROM ex GROUP BY struct_extract(l, 'href')
+        """,
+        # min-reachable-id fixpoint == connected component min: the
+        # recursive CTE closes reachability over the symmetric LSH pair
+        # graph, exactly the fixpoint the Spark label propagation finds
+        "dup_clusters": f"""
+            WITH RECURSIVE {_lsh_pairs_ctes(8, 4, 200)},
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lab
+            ),
+            cc AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   CAST(coalesce(cc.comp, d.doc_id) AS BIGINT) AS cluster_id,
+                   CAST(coalesce(cc.comp, d.doc_id) = d.doc_id AS INT)
+                     AS is_canonical
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        """,
+        "doc_sample_frac": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {_H60.format(x="concat_ws(':', 'corpus', CAST(doc_id AS VARCHAR))")}
+                  < {int(0.2 * float(1 << 60))}
+        """,
+        "doc_sample_stratified": f"""
+            SELECT lang, doc_id, sample_rank FROM (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_H60.format(x="concat_ws(':', 'corpus', CAST(doc_id AS VARCHAR))")} ASC,
+                                doc_id ASC) AS INT) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 25
+        """,
+        "corpus_curation": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER)
+                       AS n_tokens
+              FROM documents
+              WHERE len(regexp_extract_all(text, '\S+')) >= 5
+                AND len(regexp_extract_all(text, '[.,;:!?]'))
+                    / greatest(length(text), 1) < 0.2
+                AND len(regexp_extract_all(text, '[0-9]'))
+                    / greatest(length(text), 1) < 0.3
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for)\b')) AS c_en,
+                     len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS c_de,
+                     len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|pour|dans)\b')) AS c_fr,
+                     len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|por|para|con)\b')) AS c_es,
+                     len(regexp_extract_all(text, '(的|是|了|在|和|不|有|我)')) AS c_zh
+              FROM documents),
+            lang AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN c_en >= greatest(c_de, c_fr, c_es, c_zh, 1) THEN 'en'
+                       WHEN c_de >= greatest(c_fr, c_es, c_zh, 1) THEN 'de'
+                       WHEN c_fr >= greatest(c_es, c_zh, 1) THEN 'fr'
+                       WHEN c_es >= greatest(c_zh, 1) THEN 'es'
+                       WHEN c_zh >= 1 THEN 'zh'
+                       ELSE 'und' END AS lang_pred
+              FROM c)
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM q JOIN keep USING (doc_id) JOIN lang USING (doc_id)
+            GROUP BY lang_pred
         """,
     }

@@ -220,3 +220,48 @@ def test_cli_changes_between_snapshots(spark, tmp_path):
     )
     rep2 = json.loads(out.strip().splitlines()[-1])
     assert rep2["to_snapshot"] == r2["snapshot_id"] and rep2["changes"] == rep["changes"]
+
+
+def test_cli_maintain_expire_and_orphans(spark, tmp_path):
+    """`maintain` subcommand: compaction + snapshot retention + orphan
+    cleanup in one invocation, reported as JSON."""
+    from pyspark.sql import types as T
+
+    from web3research_etl_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("event_seq", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{tmp_path}/t", schema, key=["url"],
+        version_order=["warc_ts", "event_seq"], n_buckets=4,
+    )
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows, "op string, url string, ts_s long, event_seq long, v string"
+        )
+        return df.select(
+            "op", "url", F.timestamp_seconds("ts_s").alias("warc_ts"), "event_seq", "v"
+        )
+
+    t.merge_changelog(batch([("I", "a", 100, 1, "a1")]), epoch_id=0)
+    t.merge_changelog(batch([("U", "a", 200, 2, "a2")]), epoch_id=1)
+    t.merge_changelog(batch([("I", "b", 300, 3, "b1")]), epoch_id=2)
+    pre = t.state_hash()
+
+    out = _run_cli(
+        "maintain", "--table", f"{tmp_path}/t",
+        "--expire-keep", "2", "--remove-orphans", "--orphan-grace", "0",
+    )
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["expire"]["skipped"] is False
+    assert rep["orphans"]["data_files_removed"] == 0  # nothing dangling
+    t2 = LakeTable.load(spark, f"{tmp_path}/t")
+    assert t2.state_hash() == pre
+    assert {0, 1, 2} <= t2.committed_epochs()

@@ -378,3 +378,59 @@ def test_read_changes_across_schema_evolution(spark, tmp_table_dir):
     rows = {r["url"]: r for r in chg.collect()}
     assert set(rows) == {"a"} and rows["a"]["change_type"] == "update"
     assert rows["a"]["new_seq_no"] == 3 and rows["a"]["old_seq_no"] == 1
+
+
+def test_expire_snapshots_retention(spark, tmp_table_dir):
+    """Retention drops old manifests + their exclusive data files;
+    current state, exactly-once markers, and re-loadability survive."""
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1)
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.merge_changelog(_batch(spark, [("U", "a", 200, 2, "a2")]), epoch_id=2)
+    t.merge_changelog(_batch(spark, [("I", "b", 300, 3, "b1")]), epoch_id=3)
+    before_files = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+    pre_state = t.state_hash()
+
+    res = t.expire_snapshots(retain_last=2)
+    assert not res["skipped"] and s1 in res["expired_snapshots"]
+    # expired manifest gone → time travel raises; current read unchanged
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read(s1)
+    assert t.state_hash() == pre_state
+    # s1's v=a1 file was referenced only by expired snapshots → deleted
+    after_files = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+    assert after_files < before_files
+    # exactly-once markers are cumulative: every epoch still committed
+    assert {1, 2, 3} <= t.committed_epochs()
+    # table still loads and a re-delivered epoch is still skipped
+    t2 = LakeTable.load(spark, t.path)
+    r = t2.merge_changelog(_batch(spark, [("I", "a", 100, 1, "dup")]), epoch_id=2)
+    assert r["skipped"] is True
+
+
+def test_expire_snapshots_noop_and_bounds(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.expire_snapshots(retain_last=0)
+    assert t.expire_snapshots(retain_last=10)["skipped"] is True
+    assert t.read().count() == 1
+
+
+def test_remove_orphan_files(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1)
+    # plant an orphan (a crashed writer's leftover) + prove grace guards it
+    orphan = os.path.join(t.data_dir, "bucket=0", "orphan.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    assert t.remove_orphan_files(grace_seconds=3600)["data_files_removed"] == 0
+    res = t.remove_orphan_files(grace_seconds=0)
+    assert res["data_files_removed"] == 1 and not os.path.exists(orphan)
+    # referenced files untouched
+    assert t.read().count() == 1

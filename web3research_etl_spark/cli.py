@@ -146,6 +146,35 @@ def build_parser() -> argparse.ArgumentParser:
         "per-type counts are printed)",
     )
 
+    maintain = subs.add_parser(
+        "maintain",
+        help="table maintenance: compaction, tombstone vacuum, snapshot "
+        "retention, orphan-file cleanup (the reference's OPTIMIZE/backup "
+        "sidecars, scripts/optimize_db.py + scripts/backup_db.py)",
+    )
+    maintain.add_argument("--table", required=True, help="lake table root dir")
+    maintain.add_argument(
+        "--compact", action="store_true", help="rewrite fragmented buckets"
+    )
+    maintain.add_argument(
+        "--vacuum-before",
+        default=None,
+        help="drop tombstones versioned before this timestamp "
+        "(YYYY-MM-DD HH:MM:SS; only safe past the out-of-order window)",
+    )
+    maintain.add_argument(
+        "--expire-keep",
+        type=int,
+        default=None,
+        help="expire all but the newest N snapshots",
+    )
+    maintain.add_argument(
+        "--remove-orphans",
+        action="store_true",
+        help="delete unreferenced data files older than --orphan-grace",
+    )
+    maintain.add_argument("--orphan-grace", type=float, default=3600.0)
+
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
     gen.add_argument("--out", required=True)
     gen.add_argument("--events", type=int, required=True)
@@ -243,6 +272,27 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "maintain":
+        from web3research_etl_spark.lake.table import LakeTable
+
+        table = LakeTable.load(spark, args.table)
+        report: dict = {}
+        if args.compact:
+            report["compact"] = table.rewrite_small_files()
+        if args.vacuum_before:
+            report["vacuum"] = table.vacuum_tombstones(args.vacuum_before)
+        if args.expire_keep is not None:
+            report["expire"] = table.expire_snapshots(retain_last=args.expire_keep)
+        if args.remove_orphans:
+            res = table.remove_orphan_files(grace_seconds=args.orphan_grace)
+            report["orphans"] = {"data_files_removed": res["data_files_removed"]}
+        if not report:
+            print("nothing to do: pass --compact / --vacuum-before / "
+                  "--expire-keep / --remove-orphans", file=sys.stderr)
+            return 2
+        print(json.dumps(report))
         return 0
 
     from web3research_etl_spark.ledger import open_ledger

@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from typing import Any
 
@@ -872,6 +873,86 @@ class LakeTable:
         ]
         self._commit_data(snap, new_id, "vacuum", groups, None, None)
         return {"skipped": False, "snapshot_id": new_id}
+
+    def expire_snapshots(self, retain_last: int = 2) -> dict:
+        """Snapshot retention (Iceberg's `expire_snapshots`; the
+        reference's backup sidecar keeps N days then drops,
+        scripts/backup_db.py): delete all but the newest ``retain_last``
+        snapshot manifests and any data file referenced ONLY by expired
+        snapshots.
+
+        Exactly-once survives expiry by construction: committed_epochs
+        is carried CUMULATIVELY into every child snapshot
+        (_commit_data), so the current snapshot alone knows every epoch
+        ever applied — dropping history can never re-open an epoch.
+        Time travel / read_changes to an expired snapshot raises (its
+        manifest is gone), matching Iceberg semantics.
+
+        Crash safety: the delete list is computed first, manifests are
+        removed before data files — an interruption can only leak
+        orphan data files (cleaned by remove_orphan_files), never leave
+        a listed snapshot with missing files.
+        """
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        ids = self.snapshot_ids()
+        cur = self.current_snapshot()["snapshot_id"]
+        retained = set(ids[-retain_last:]) | {cur}
+        expired = [i for i in ids if i not in retained]
+        if not expired:
+            return {"skipped": True, "reason": "nothing to expire"}
+        live_paths: set[str] = set()
+        for i in retained:
+            for fg in self.snapshot(i)["file_groups"]:
+                live_paths.update(fg["paths"])
+        doomed: set[str] = set()
+        for i in expired:
+            for fg in self.snapshot(i)["file_groups"]:
+                doomed.update(p for p in fg["paths"] if p not in live_paths)
+        for i in expired:
+            os.remove(self._snap_path(i))
+        removed = 0
+        for p in sorted(doomed):
+            fp = os.path.join(self.path, p)
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed += 1
+        return {
+            "skipped": False,
+            "expired_snapshots": expired,
+            "retained_snapshots": sorted(retained),
+            "data_files_removed": removed,
+        }
+
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> dict:
+        """Delete data files referenced by NO snapshot (Iceberg's
+        `remove_orphan_files`): leftovers of writes that crashed between
+        _write_data_files and _commit, or of an interrupted
+        expire_snapshots. ``grace_seconds`` of mtime slack protects an
+        IN-FLIGHT merge whose files exist but whose commit hasn't landed
+        yet — never run with 0 grace while a writer is live."""
+        referenced: set[str] = set()
+        for i in self.snapshot_ids():
+            for fg in self.snapshot(i)["file_groups"]:
+                referenced.update(fg["paths"])
+        now = time.time()
+        removed = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for name in files:
+                # Hadoop/Spark writer sidecars (_SUCCESS, .…crc) are
+                # per-directory artifacts, never referenced by manifests
+                # — skip them like Iceberg's hidden-file convention
+                if name.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, name)
+                rel = os.path.relpath(fp, self.path)
+                if rel in referenced:
+                    continue
+                if now - os.path.getmtime(fp) < grace_seconds:
+                    continue
+                os.remove(fp)
+                removed.append(rel)
+        return {"data_files_removed": len(removed), "paths": sorted(removed)}
 
     def state_hash(self, snapshot_id: int | None = None) -> str:
         """Order-insensitive content hash of table state — the replay-

@@ -1,0 +1,122 @@
+"""Duplicate-cluster resolution: connected components over candidate
+pairs, and canonical-document selection.
+
+Near-dup candidate generators (MinHash-LSH, SimHash blocks, embedding
+LSH — operators/dedup.py) emit PAIRS; a training-data pipeline needs
+CLUSTERS: "these 7 urls are the same article, keep one". The bridge is
+connected components over the pair graph. The reference has no analog
+(its dedup is ReplacingMergeTree per exact key); this is the standard
+web-corpus step (CCNet/Gopher dedup pipelines).
+
+Scale notes (10^9 nodes): the implementation is min-label propagation
+with pointer jumping — per round, every node takes the min label over
+itself and its neighbors (one equi-join + map-side-combinable min agg),
+then labels compose through themselves (label <- label(label), one more
+equi-join). Labels are monotone non-increasing and bounded below by the
+component minimum, so the loop terminates; pointer jumping contracts
+label chains so rounds grow ~O(log diameter) rather than O(diameter)
+(the alternating large-star/small-star scheme of Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14, has the same
+round bound; hash-to-min-with-jumping is simpler and equally join-only).
+Near-dup graphs are overwhelmingly tiny dense cliques with diameter
+2-3, so in practice 3-4 rounds converge. Every round materializes via
+localCheckpoint() — iterative Catalyst plans otherwise double in depth
+per round and re-execute the whole history each action. On a real
+cluster point spark.checkpoint.dir at durable storage and swap
+localCheckpoint→checkpoint for fault tolerance across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = the minimum node id reachable through the (undirected)
+    pair graph — a stable, order-independent cluster id."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # 1) neighbor-min: min label over incident edges (map-side
+        #    combinable — the shuffle carries one (u, min) pair per map
+        #    task, not the edge list)
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["label"],
+                    F.coalesce(nbr["nbr_label"], labels["label"]),
+                ).alias("label"),
+            )
+        )
+        # 2) pointer jump: label <- label(label) (path compression)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select(
+                stepped["node"].alias("node"),
+                F.coalesce(parent["p_label"], stepped["label"]).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Assign EVERY document a cluster id (singletons cluster with
+    themselves) and mark the canonical keeper (min id per cluster).
+    Downstream dedup = `filter(is_canonical = 1)`."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    out = (
+        docs.select(id_col)
+        .join(cc, docs[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+    )

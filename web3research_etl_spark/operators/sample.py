@@ -1,0 +1,60 @@
+"""Deterministic sampling for training-data curation.
+
+`df.sample()` is seeded per-partition: the rows it picks change whenever
+the partitioning changes (a repartition, a file split resize, AQE), and
+a retried task can sample DIFFERENT rows than its first attempt — which
+breaks exactly-once sinks. For corpus curation the sample must be a pure
+FUNCTION of the data, so membership is decided by a keyed hash:
+md5-int60(key) < fraction · 2^60. Properties:
+
+- narrow: a filter fused into the scan — no shuffle, no RNG state, and
+  Parquet row-group statistics still prune (the filter is on a derived
+  column, but every other pushed predicate survives);
+- reproducible: same rows on any cluster size, any partitioning, any
+  engine (the md5-int60 trick is bit-identical in DuckDB — oracle-able);
+- composable: nested samples (salt "a" at 10% then salt "a" at 5%) are
+  proper subsets; disjoint salts give independent samples.
+
+Stratified exact-k uses hash-rank row_number per stratum — one shuffle
+on the strata column; ties broken by key so the result is total-order
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web3research_etl_spark.operators.text import md5_int60
+
+
+def _sample_hash(key_col: str, salt: str):
+    return md5_int60(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic ~``fraction`` uniform sample keyed on ``key_col``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    threshold = int(fraction * float(1 << 60))
+    return df.filter(_sample_hash(key_col, salt) < F.lit(threshold))
+
+
+def stratified_topk(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "s0",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, chosen by hash rank —
+    the deterministic equivalent of per-stratum reservoir sampling."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _sample_hash(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
