@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "ann_brute_topk",
     "ann_ivf_topk",
     "events_windowed_rates",
+    "dup_clusters",
+    "corpus_curation",
 ]
 
 

@@ -434,3 +434,29 @@ def test_remove_orphan_files(spark, tmp_table_dir):
     assert res["data_files_removed"] == 1 and not os.path.exists(orphan)
     # referenced files untouched
     assert t.read().count() == 1
+
+
+def test_rebucket_partition_spec_evolution(spark, tmp_table_dir):
+    """Changing the bucket count rewrites the table atomically: state
+    identical, point lookups hash with the NEW count, time travel to a
+    pre-rebucket snapshot prunes with the OLD count, merges continue."""
+    t = _table(spark, tmp_table_dir, n_buckets=4)
+    t.merge_changelog(
+        _batch(spark, [("I", f"u{i}", 100, i, f"v{i}") for i in range(20)]),
+        epoch_id=1,
+    )
+    pre_snap = t.current_snapshot()["snapshot_id"]
+    pre = t.state_hash()
+
+    res = t.rebucket(8)
+    assert not res["skipped"] and res["n_buckets"] == 8
+    assert t.current_snapshot()["n_buckets"] == 8
+    assert t.state_hash() == pre
+    # bucket-pruned lookup under the new spec
+    assert {r["url"] for r in t.read_for_keys(["u7"]).collect()} == {"u7"}
+    # old snapshot still reads (its groups carry old bucket numbers)
+    assert t.read(pre_snap).count() == 20
+    # merge after rebucket lands in the new layout and wins LWW
+    t.merge_changelog(_batch(spark, [("U", "u7", 200, 99, "v7b")]), epoch_id=2)
+    assert t.read_for_keys(["u7"]).collect()[0]["v"] == "v7b"
+    assert t.rebucket(8)["skipped"] is True

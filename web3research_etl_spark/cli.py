@@ -174,6 +174,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="delete unreferenced data files older than --orphan-grace",
     )
     maintain.add_argument("--orphan-grace", type=float, default=3600.0)
+    maintain.add_argument(
+        "--rebucket",
+        type=int,
+        default=None,
+        help="rewrite the table under a new bucket count "
+        "(partition-spec evolution)",
+    )
 
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
     gen.add_argument("--out", required=True)
@@ -279,6 +286,8 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable.load(spark, args.table)
         report: dict = {}
+        if args.rebucket is not None:
+            report["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:
             report["compact"] = table.rewrite_small_files()
         if args.vacuum_before:
@@ -290,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
             report["orphans"] = {"data_files_removed": res["data_files_removed"]}
         if not report:
             print("nothing to do: pass --compact / --vacuum-before / "
-                  "--expire-keep / --remove-orphans", file=sys.stderr)
+                  "--expire-keep / --remove-orphans / --rebucket", file=sys.stderr)
             return 2
         print(json.dumps(report))
         return 0

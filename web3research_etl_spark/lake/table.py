@@ -874,6 +874,37 @@ class LakeTable:
         self._commit_data(snap, new_id, "vacuum", groups, None, None)
         return {"skipped": False, "snapshot_id": new_id}
 
+    def rebucket(self, n_buckets: int) -> dict:
+        """Bucket-spec evolution (Iceberg's partition-spec evolution for
+        the bucket transform): rewrite the table under a new bucket
+        count — the operation a growing table needs when its original
+        bucket count stops matching its volume (16 buckets over 100 TB
+        = 6 TB merge tasks). One full rewrite, snapshot-atomic; the
+        bucket count is per-snapshot metadata, so time travel to
+        pre-rebucket snapshots keeps pruning correctly with the OLD
+        count, and every later merge/point-lookup hashes with the new
+        one."""
+        snap = self.current_snapshot()
+        if n_buckets == snap["n_buckets"]:
+            return {"skipped": True, "reason": "same bucket count"}
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        staged_snap = dict(snap)
+        staged_snap["n_buckets"] = n_buckets
+        rows = self._read_groups(snap, snap["file_groups"], include_deleted=True)
+        new_id = snap["snapshot_id"] + 1
+        if rows is None:
+            groups: list[dict] = []
+        else:
+            staged = rows.withColumn(_BUCKET_COL, self._bucket_expr(staged_snap))
+            by_b = self._write_data_files(staged, new_id, self.schema(snap))
+            groups = [
+                {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
+                for b, ps in sorted(by_b.items())
+            ]
+        self._commit_data(staged_snap, new_id, "rebucket", groups, None, None)
+        return {"skipped": False, "snapshot_id": new_id, "n_buckets": n_buckets}
+
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """Snapshot retention (Iceberg's `expire_snapshots`; the
         reference's backup sidecar keeps N days then drops,

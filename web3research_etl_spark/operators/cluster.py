@@ -41,7 +41,9 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``;
     component = the minimum node id reachable through the (undirected)
     pair graph — a stable, order-independent cluster id."""
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the pair list FIRST: the symmetric-closure union reads
+    # it twice, and upstream candidate generators (LSH) are expensive
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -53,6 +55,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_rounds):
         # 1) neighbor-min: min label over incident edges (map-side
         #    combinable — the shuffle carries one (u, min) pair per map
@@ -84,17 +87,23 @@ def connected_components(
                 stepped["node"].alias("node"),
                 F.coalesce(parent["p_label"], stepped["label"]).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence agg below is the round's one action
+            # and materializes the checkpoint as it runs — eager=True
+            # would spend a second action per round just to materialize
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # convergence: labels are monotone non-increasing per node, so
+        # the label SUM strictly decreases until the fixpoint — one
+        # map-side-combinable agg instead of a join+count per round
+        # (decimal accumulator: 10^9 bigint node ids would overflow a
+        # bigint sum)
+        cur_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = jumped
-        if changed == 0:
-            break
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+            break  # empty node set, or no label moved
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from web3research_etl_spark.operators.text import md5_int60, shingle_array
+from web3research_etl_spark.operators.text import exploded_shingles, md5_int60
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -50,9 +50,7 @@ def ngram_jaccard_pairs(
     count co-occurrences, |A∪B| = |A|+|B|-|A∩B|.
 
     ``max_bucket_size`` caps the per-shingle bucket (quadratic guard)."""
-    sh = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
-    )
+    sh = exploded_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bn")).filter(
         F.col("bn") <= max_bucket_size
@@ -114,9 +112,7 @@ def ngram_jaccard_via_lsh(
         docs, k=k, num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size,
     ).select("doc_a", "doc_b")
-    sh = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
-    )
+    sh = exploded_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -154,9 +150,7 @@ def minhash_signatures(docs: DataFrame, k: int = 12, num_hashes: int = 16) -> Da
     md5_int60(shingle || '#' || i). One explode + one groupBy with
     num_hashes min() aggregates — partial aggregation keeps the shuffle
     tiny (num_hashes longs per doc per map task)."""
-    sh = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
-    )
+    sh = exploded_shingles(docs, k)
     aggs = [
         F.min(md5_int60(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -177,7 +171,13 @@ def minhash_lsh_candidates(
     (quadratic guard). Returns distinct candidate pairs with the
     estimated Jaccard (fraction of matching minhashes)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes)
+    # The signature frame feeds THREE consumers (banding + the two
+    # est-jaccard sides); unmaterialized, Catalyst re-runs the whole
+    # shingle-explode+agg per consumer — measured 15.9 s vs ~5 s at
+    # sf0.1. It is tiny (num_hashes longs per doc), so materialize it
+    # once. On a multi-executor cluster prefer checkpoint() to a
+    # configured dir; localCheckpoint keeps the sandbox dependency-free.
+    sig = minhash_signatures(docs, k, num_hashes).localCheckpoint()
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -224,9 +224,7 @@ def simhash(docs: DataFrame, bits: int = 16, k: int = 12) -> DataFrame:
     """bits-bit SimHash over char-shingle hashes: per bit position, sum
     +1/-1 votes of each shingle hash's bit; sign → bit. One explode +
     one groupBy with ``bits`` sums (all map-side combinable)."""
-    sh = docs.select(
-        "doc_id", F.explode(shingle_array(F.col("text"), k)).alias("shingle")
-    ).select("doc_id", md5_int60(F.col("shingle")).alias("h"))
+    sh = exploded_shingles(docs, k).select("doc_id", md5_int60(F.col("shingle")).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

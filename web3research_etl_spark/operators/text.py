@@ -95,24 +95,67 @@ def lang_id_sql(docs: DataFrame) -> DataFrame:
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: full-text md5 plus a shingle-set rolling
-    fingerprint (min over 3-token-shingle hashes — order-insensitive,
-    robust to local edits)."""
-    shingles = shingle_array(F.col("text"))
-    return docs.select(
+    fingerprint (min over shingle hashes — order-insensitive, robust to
+    local edits). Two-stage projection (see exploded_shingles) so the
+    normalization regex runs once per doc; array_distinct is skipped —
+    duplicates cannot change a min."""
+    staged = docs.select(
         "doc_id",
         F.md5("text").alias("md5_fp"),
+        normalized_text(F.col("text")).alias("__s"),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__s") - 11, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.substring(F.col("__s"), i, 12))
+    return staged.select(
+        "doc_id",
+        "md5_fp",
         F.array_min(F.transform(shingles, lambda s: md5_int60(s))).alias("shingle_fp"),
     )
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-normalized lowercase text (the shingle domain)."""
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
 
 
 def shingle_array(text: Column, k: int = 12) -> Column:
     """Distinct character k-gram shingles as array<string> — built with
     JVM-side higher-order functions (no UDF): normalize whitespace,
     slide a window of k chars. Char shingles (vs word shingles) keep the
-    construction bit-identical across engines for oracle checks."""
-    s = F.regexp_replace(F.lower(text), r"\s+", " ")
+    construction bit-identical across engines for oracle checks.
+
+    PERF: only pass a CONCRETE column (or cheap expression) as ``text``.
+    Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an expensive expression here is
+    re-evaluated once per array ELEMENT (~4k× per doc). Hot paths should
+    use :func:`exploded_shingles`, which stages the normalization as its
+    own projection — measured 5-6× faster on the whole minhash/simhash
+    family at sf0.1."""
+    s = normalized_text(text)
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
+
+
+def exploded_shingles(
+    docs: DataFrame, k: int = 12, text_col: str = "text", keep: tuple = ("doc_id",)
+) -> DataFrame:
+    """(*keep, shingle) — one row per distinct k-gram per document.
+
+    Two-stage projection: the regexp whitespace normalization lands in
+    its OWN projection so it runs once per document; the per-element
+    lambda then only does substring over that concrete column. The
+    fused form `explode(shingle_array(text))` re-runs the regex per
+    shingle (no CSE inside lambdas) — 11.4 s vs 2.2 s for 8-hash
+    minhash over 5k docs at sf0.1, identical output (exceptAll-checked
+    both ways)."""
+    staged = docs.select(*keep, normalized_text(F.col(text_col)).alias("__s"))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length("__s") - (k - 1), F.lit(1))
+    )
+    arr = F.array_distinct(
+        F.transform(idx, lambda i: F.substring(F.col("__s"), i, k))
+    )
+    return staged.select(*keep, F.explode(arr).alias("shingle"))
 
 
 def canonical_url(url: Column) -> Column:
