@@ -50,7 +50,13 @@ def ngram_jaccard_pairs(
     count co-occurrences, |A∪B| = |A|+|B|-|A∩B|.
 
     ``max_bucket_size`` caps the per-shingle bucket (quadratic guard)."""
-    sh = exploded_shingles(docs, k)
+    # one materialization, FOUR consumers (sizes, bucket histogram, both
+    # self-join sides) — unmaterialized, the shingle explode re-runs per
+    # consumer. At corpus scale swap localCheckpoint for checkpoint() to
+    # a durable dir (this frame is O(corpus chars)); this operator is
+    # the exact/oracle path regardless — the scale path is
+    # ngram_jaccard_via_lsh.
+    sh = exploded_shingles(docs, k).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bn")).filter(
         F.col("bn") <= max_bucket_size
@@ -111,8 +117,25 @@ def ngram_jaccard_via_lsh(
     cands = minhash_lsh_candidates(
         docs, k=k, num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size,
-    ).select("doc_a", "doc_b")
-    sh = exploded_shingles(docs, k)
+    ).select("doc_a", "doc_b").localCheckpoint()
+    # exact verification only ever touches CANDIDATE docs: semi-join the
+    # shingle frame down to them before materializing — at a web corpus
+    # that's the difference between re-exploding everything and holding
+    # O(|candidate docs| · shingles/doc). set_size stays exact: the
+    # semi-join drops whole docs, never individual shingles.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        # no broadcast hint: AQE broadcasts when the candidate set is
+        # small and falls back to a shuffle semi-join when dedup finds
+        # millions of candidates — forcing broadcast would OOM there
+        exploded_shingles(docs, k)
+        .join(cand_docs, "doc_id", "left_semi")
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
