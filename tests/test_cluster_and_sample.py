@@ -141,3 +141,20 @@ def test_cc_property_random_graphs_vs_union_find(spark):
             for r in connected_components(_pairs(spark, edges)).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_dup_clusters_canonical_by_quality(spark):
+    """Keeper policy by a quality column: the cluster's best row wins,
+    ties broken by id; singletons are their own keeper."""
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 5), (3, 9), (5, 9), (2, 1)], "doc_id bigint, q bigint"
+    )
+    pairs = _pairs(spark, [(1, 3), (3, 5)])
+    rows = {
+        r["doc_id"]: r
+        for r in dup_clusters(docs, pairs, canonical_by="q").collect()
+    }
+    # cluster {1,3,5}: q = 5,9,9 -> keeper is 3 (q tie 3 vs 5, lower id)
+    assert [rows[i]["cluster_id"] for i in (1, 3, 5)] == [1, 1, 1]
+    assert [rows[i]["is_canonical"] for i in (1, 3, 5)] == [0, 1, 0]
+    assert rows[0]["is_canonical"] == 1 and rows[2]["is_canonical"] == 1

@@ -113,19 +113,39 @@ def dup_clusters(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    canonical_by: str | None = None,
 ) -> DataFrame:
     """Assign EVERY document a cluster id (singletons cluster with
-    themselves) and mark the canonical keeper (min id per cluster).
-    Downstream dedup = `filter(is_canonical = 1)`."""
+    themselves) and mark the canonical keeper. Downstream dedup =
+    `filter(is_canonical = 1)`.
+
+    Keeper policy: min id per cluster by default (cheap — no second
+    shuffle; the cluster id IS the keeper id). With ``canonical_by``,
+    the keeper is the cluster's best row by that column (quality score,
+    token count, …) — the CCNet-style "keep the best copy" policy —
+    via one row_number window over cluster_id, ties broken by id for
+    determinism."""
+    from pyspark.sql import Window
+
     cc = connected_components(pairs, src=src, dst=dst)
+    keep_cols = [id_col] + ([canonical_by] if canonical_by else [])
     out = (
-        docs.select(id_col)
+        docs.select(*keep_cols)
         .join(cc, docs[id_col] == cc["node"], "left")
         .select(
-            F.col(id_col),
+            *keep_cols,
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
-    return out.withColumn(
-        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+    if canonical_by is None:
+        return out.withColumn(
+            "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(canonical_by).desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .withColumn("is_canonical", (F.col("__rk") == 1).cast("int"))
+        .drop("__rk")
     )
