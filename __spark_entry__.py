@@ -666,6 +666,10 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     candidate CTE in the oracle is shared)."""
     from web3research_etl_spark.operators.dedup import ngram_jaccard_via_lsh
 
+    # NOTE: no min_est sketch prefilter here — with 2 rows/band every
+    # banded candidate already has est ≥ 0.25, so a prefilter below that
+    # prunes nothing (measured: only adds plan weight). min_est earns
+    # its keep at higher num_hashes (finer estimates), not at 8.
     return ngram_jaccard_via_lsh(
         _t(spark, sf_dir, "documents"), k=12, threshold=0.2,
         num_hashes=8, bands=4,
@@ -1223,15 +1227,29 @@ def _ngram_jaccard_lsh_oracle(
     bands: int = 4,
     max_bucket_size: int = 200,
     threshold: float = 0.2,
+    min_est: float | None = None,
 ) -> str:
     """DuckDB replica of operators/dedup.py:ngram_jaccard_via_lsh —
-    exact shingle-set Jaccard restricted to LSH candidate pairs."""
+    exact shingle-set Jaccard restricted to LSH candidate pairs,
+    optionally sketch-prefiltered on the minhash estimate."""
+    if min_est is None:
+        verified = "pairs"
+    else:
+        matches = " + ".join(
+            f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+            for i in range(num_hashes)
+        )
+        verified = f"""(
+          SELECT p.doc_a, p.doc_b FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b
+          WHERE ({matches}) / {float(num_hashes)} >= {min_est})"""
     return f"""
         WITH {_lsh_pairs_ctes(num_hashes, bands, max_bucket_size)},
         sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
         inter AS (
           SELECT p.doc_a, p.doc_b, count(*) AS n_common
-          FROM pairs p
+          FROM {verified} p
           JOIN sh a ON a.doc_id = p.doc_a
           JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
           GROUP BY 1, 2)

@@ -94,6 +94,7 @@ def ngram_jaccard_via_lsh(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int = 200,
+    min_est: float | None = None,
 ) -> DataFrame:
     """The 100-TB Jaccard path (VERDICT r1 perf-weak #2): MinHash-LSH
     candidate generation FIRST, exact shingle-set Jaccard computed ONLY
@@ -117,7 +118,15 @@ def ngram_jaccard_via_lsh(
     cands = minhash_lsh_candidates(
         docs, k=k, num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size,
-    ).select("doc_a", "doc_b").localCheckpoint()
+    )
+    if min_est is not None:
+        # sketch prefilter (standard LSH verify stage): the minhash
+        # estimate is already computed — drop candidates whose estimate
+        # can't plausibly clear the threshold BEFORE the expensive exact
+        # join. Costs recall only in the est/true tail; keeps the output
+        # a subset of the exact operator with identical values.
+        cands = cands.filter(F.col("est_jaccard") >= min_est)
+    cands = cands.select("doc_a", "doc_b").localCheckpoint()
     # exact verification only ever touches CANDIDATE docs: semi-join the
     # shingle frame down to them before materializing — at a web corpus
     # that's the difference between re-exploding everything and holding
