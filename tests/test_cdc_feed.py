@@ -216,3 +216,112 @@ def test_run_sync_publishes_feed_and_mirror_converges(spark, tmp_path):
     for i, sdir in enumerate(batch_dirs):
         apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=i)
     assert mirror.state_hash() == t.state_hash()
+
+
+def test_feed_bridges_expired_history_gap(spark, tmp_path):
+    """expire_snapshots removes the parent manifest a pending diff needs;
+    the publisher must BRIDGE (full-state publish: live rows as inserts,
+    tombstones as deletes) instead of wedging on FileNotFoundError
+    (ADVICE r02 medium). A mirror replicated from the bridged feed still
+    converges to the source's content hash."""
+    import glob
+
+    src = _table(spark, f"{tmp_path}/src")
+    feed = f"{tmp_path}/feed"
+    src.merge_changelog(
+        _batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]), epoch_id=0
+    )
+    src.merge_changelog(
+        _batch(spark, [("U", "a", 200, 3, "a2"), ("D", "b", 200, 4, None)]), epoch_id=1
+    )
+    src.merge_changelog(_batch(spark, [("I", "c", 300, 5, "c1")]), epoch_id=2)
+    # history walks away before the feed ever published
+    src.expire_snapshots(retain_last=2)
+
+    rep = publish_changes(src, feed, payloads=True)
+    assert rep["gap_bridged"] == [min(src.snapshot_ids())]
+    assert rep["through"] == src.current_snapshot()["snapshot_id"]
+
+    mirror = LakeTable.create(
+        spark, f"{tmp_path}/mirror", SCHEMA, key=["url"],
+        version_order=["warc_ts", "event_seq"], n_buckets=4,
+    )
+    schema = feed_schema(src, payloads=True, out_dir=feed)
+    for i, sdir in enumerate(sorted(glob.glob(f"{feed}/s*"))):
+        apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=i)
+    assert mirror.state_hash() == src.state_hash()
+    # the bridge carried b's tombstone: b must NOT be resurrected
+    assert mirror.read().filter(F.col("url") == "b").count() == 0
+    # and the stream is not wedged: a later epoch publishes normally
+    src.merge_changelog(_batch(spark, [("I", "d", 400, 7, "d1")]), epoch_id=3)
+    rep2 = publish_changes(src, feed, payloads=True)
+    assert rep2["gap_bridged"] == [] and len(rep2["published"]) == 1
+
+
+def test_feed_pinned_schema_survives_rename(spark, tmp_path):
+    """The feed's schema is pinned at first publish: a table rename after
+    that maps new diffs onto the pinned names, so one schema reads BOTH
+    eras of feed files with no silent nulls (ADVICE r02 low)."""
+    t = _table(spark, tmp_path)
+    feed = f"{tmp_path}/feed"
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=0)
+    publish_changes(t, feed, payloads=True)
+
+    t.alter([{"change": "rename", "name": "seq_no", "renamed_from": "event_seq"}])
+    post = spark.createDataFrame(
+        [("U", "a", 200, 2, "a2")], "op string, url string, ts_s long, seq_no long, v string"
+    ).select("op", "url", F.timestamp_seconds("ts_s").alias("warc_ts"), "seq_no", "v")
+    t.merge_changelog(post, epoch_id=1)
+    publish_changes(t, feed, payloads=True)
+
+    pinned = feed_schema(t, payloads=True, out_dir=feed)
+    assert "new_event_seq" in pinned.fieldNames()  # pre-rename names pinned
+    rows = spark.read.schema(pinned).parquet(f"{feed}/s*").collect()
+    assert len(rows) == 2
+    # no silent nulls: every change row's new-side version survived
+    assert all(r["new_event_seq"] is not None for r in rows)
+    assert {r["change_type"] for r in rows} == {"insert", "update"}
+
+
+def test_expire_feed_retention_and_consumer_resume(spark, tmp_path):
+    """maintain --expire-feed prunes feed dirs older than the table's
+    oldest retained snapshot; a tailing consumer whose checkpoint is past
+    the pruned dirs keeps consuming new publishes."""
+    from web3research_etl_spark.lake.cdc_feed import expire_feed
+
+    t = _table(spark, tmp_path)
+    feed = f"{tmp_path}/feed"
+    for i, (url, seq) in enumerate([("a", 1), ("b", 2), ("c", 3)]):
+        t.merge_changelog(_batch(spark, [("I", url, 100 * (i + 1), seq, url)]), epoch_id=i)
+    publish_changes(t, feed)
+
+    # consumer drains everything, checkpointed (file sink: supports resume)
+    ckpt = f"{tmp_path}/consumer_ckpt"
+    sink = f"{tmp_path}/consumer_sink"
+    q = (
+        stream_feed(spark, t, feed)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 3
+
+    t.expire_snapshots(retain_last=1)
+    rep = expire_feed(t, feed)
+    floor = min(t.snapshot_ids())
+    assert rep["floor"] == floor and all(s < floor for s in rep["removed"])
+    assert len(rep["removed"]) == 2
+
+    # new epoch publishes; the resumed consumer sees ONLY it, no errors
+    t.merge_changelog(_batch(spark, [("I", "d", 400, 9, "d1")]), epoch_id=9)
+    publish_changes(t, feed)
+    q2 = (
+        stream_feed(spark, t, feed)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = {r["url"] for r in spark.read.parquet(sink).collect()}
+    assert got == {"a", "b", "c", "d"}  # old rows in sink + only 'd' new

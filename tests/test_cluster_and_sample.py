@@ -158,3 +158,56 @@ def test_dup_clusters_canonical_by_quality(spark):
     assert [rows[i]["cluster_id"] for i in (1, 3, 5)] == [1, 1, 1]
     assert [rows[i]["is_canonical"] for i in (1, 3, 5)] == [0, 1, 0]
     assert rows[0]["is_canonical"] == 1 and rows[2]["is_canonical"] == 1
+
+
+def test_cc_raises_on_round_cap_instead_of_wrong_labels(spark):
+    # a path graph cannot converge in one round; the cap must surface as
+    # an error, never as silently-wrong cluster ids (ADVICE r02)
+    pairs = _pairs(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
+
+
+def test_cc_durable_checkpoint_switch(spark, tmp_path, monkeypatch):
+    """W3R_CHECKPOINT_DIR flips every materialize() to a reliable
+    checkpoint(): the CC rounds must still produce identical components
+    AND leave rdd checkpoint files under the dir (proof the durable path
+    actually ran — on a cluster that is what survives executor loss)."""
+    import os
+
+    ckpt = str(tmp_path / "durable_ckpt")
+    monkeypatch.setenv("W3R_CHECKPOINT_DIR", ckpt)
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    found = [
+        os.path.join(root, f)
+        for root, _d, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert found, "no checkpoint files written under W3R_CHECKPOINT_DIR"
+
+
+def test_lsh_jaccard_under_durable_checkpoint(spark, tmp_path, monkeypatch):
+    """The LSH dedup path's materialize() sites also honor the switch —
+    same pairs with and without the durable dir."""
+    from web3research_etl_spark.operators.dedup import ngram_jaccard_via_lsh
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog " * 4) + str(i % 3))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_via_lsh(docs, threshold=0.3).collect()
+    }
+    monkeypatch.setenv("W3R_CHECKPOINT_DIR", str(tmp_path / "ck2"))
+    dur = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_via_lsh(docs, threshold=0.3).collect()
+    }
+    assert dur == base and len(base) > 0

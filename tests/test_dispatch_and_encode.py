@@ -74,3 +74,32 @@ def test_hex_to_long(spark):
     df = spark.createDataFrame([("0x1a",), ("ff",), ("0x0",)], "h string")
     got = [r[0] for r in df.select(hex_to_long("h")).collect()]
     assert got == [26, 255, 0]
+
+
+def test_fan_out_counts_is_one_job(spark):
+    """The ops probe must count every route in ONE Spark job (a 43-way
+    fan-out paying 43 job submissions per batch is the anti-pattern,
+    VERDICT r02) — job count tracked via a dedicated job group."""
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "purchase", "weird"][i % 4]) for i in range(40)],
+        "id long, event_type string",
+    )
+    routed = dispatch_by_type(
+        df,
+        "event_type",
+        {
+            "click": lambda d: d.select("id"),
+            "view": lambda d: d,
+            "purchase": lambda d: d.select("event_type"),
+        },
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("fanout_counts_probe", "one-job probe")
+    try:
+        counts = fan_out_counts(routed)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("fanout_counts_probe")
+    assert counts == {"click": 10, "view": 10, "purchase": 10, REST_ROUTE: 10}
+    # one action; AQE may stage it as at most 2 jobs — never one per route
+    assert 1 <= len(jobs) <= 2, jobs

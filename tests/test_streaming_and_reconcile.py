@@ -259,3 +259,37 @@ def test_reconcile_window_missing_and_orphan(spark, tmp_table_dir, ch_dir):
     assert rep2.collect()[0]["status"] == "orphan"
     heal(t, win_del, epoch_id=9202, report=rep2)
     assert t.read().filter(F.col("url") == victim2["url"]).count() == 0
+
+
+def test_windowed_heal_does_not_resurrect_deleted_keys(spark, tmp_table_dir, ch_dir):
+    """ADVICE r02 medium: a key deleted by an event OUTRANKING the window
+    winner must reconcile 'ok' when the stored side carries tombstones
+    (read(include_deleted=True), as the CLI now passes) — and a windowed
+    heal must leave it deleted, not resurrect the stale window winner."""
+    from web3research_etl_spark.operators.reconcile import reconcile_window
+
+    ch = spark.read.parquet(ch_dir)
+    t = _new_table(spark, tmp_table_dir, "wintomb")
+    apply_changelog_batch(t, ch, epoch_id=0)
+
+    victim = t.read().limit(1).collect()[0]
+    # a delete newer than every event in the upcoming window
+    del_row = spark.createDataFrame(
+        [("D", victim["url"], victim["event_seq"] + 1000)],
+        "op string, url string, event_seq long",
+    ).select(
+        "op", "url", F.lit(victim["warc_ts"]).alias("warc_ts"), "event_seq",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    t.merge_changelog(del_row, epoch_id=9301)
+    assert t.read().filter(F.col("url") == victim["url"]).count() == 0
+
+    window = ch.filter(F.col("url") == victim["url"])
+    rep = reconcile_window(t.read(include_deleted=True), window)
+    assert {r["status"] for r in rep.collect()} <= {"ok"}
+
+    # tombstone-blind stored side WOULD have healed; tombstone-aware is a no-op
+    heal(t, window, epoch_id=9302, report=rep)
+    assert t.read().filter(F.col("url") == victim["url"]).count() == 0

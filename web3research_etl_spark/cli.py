@@ -181,6 +181,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="rewrite the table under a new bucket count "
         "(partition-spec evolution)",
     )
+    maintain.add_argument(
+        "--expire-feed",
+        default=None,
+        metavar="FEED_DIR",
+        help="prune CDC-feed snapshot dirs older than the table's oldest "
+        "retained snapshot (consumers' checkpoints must be past them)",
+    )
 
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
     gen.add_argument("--out", required=True)
@@ -297,9 +304,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.remove_orphans:
             res = table.remove_orphan_files(grace_seconds=args.orphan_grace)
             report["orphans"] = {"data_files_removed": res["data_files_removed"]}
+        if args.expire_feed is not None:
+            from web3research_etl_spark.lake.cdc_feed import expire_feed
+
+            report["expire_feed"] = expire_feed(table, args.expire_feed)
         if not report:
             print("nothing to do: pass --compact / --vacuum-before / "
-                  "--expire-keep / --remove-orphans / --rebucket", file=sys.stderr)
+                  "--expire-keep / --remove-orphans / --rebucket / "
+                  "--expire-feed", file=sys.stderr)
             return 2
         print(json.dumps(report))
         return 0
@@ -443,7 +455,10 @@ def main(argv: list[str] | None = None) -> int:
             changelog = changelog.filter(F.col("event_seq") >= args.since)
 
             def _report():
-                return reconcile_window(table.read(), changelog)
+                # include_deleted: tombstones must be visible or a key
+                # deleted by an event outranking the window winner would
+                # read as 'missing' and heal would resurrect it
+                return reconcile_window(table.read(include_deleted=True), changelog)
         else:
 
             def _report():

@@ -21,12 +21,31 @@ fully written; a crash between the two republishes the same snapshot
 into the same directory (overwrite). Consumers needing exactly-once
 dedup on (snapshot_id, <key>) — which is exactly what the engine's own
 merge does when the feed drives a downstream LakeTable.
+
+Schema contract: the feed's column set is PINNED at first publish
+(persisted in ``_feed_state.json``). A later table rename maps onto the
+pinned names positionally, so historical and new feed files stay
+readable under one schema; a payload column added after the pin is NOT
+ridden along (logged) — start a new feed directory to widen the feed.
+
+History contract: ``expire_snapshots`` on the source table may remove
+the parent manifest a pending diff needs. ``publish_changes`` bridges
+such a gap by publishing that snapshot's FULL state (live rows as
+inserts, tombstones as deletes, epoch_id null) — idempotent under any
+LWW/merging consumer, so the feed self-heals instead of wedging.
+Retention on the feed side is ``expire_feed`` (CLI
+``maintain --expire-feed``): prunes ``s<id>/`` dirs older than the
+table's oldest retained snapshot. A tailing consumer's file-source
+checkpoint must already be past pruned dirs — prune with at least the
+table's own snapshot retention lag, never ahead of live consumers.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
+import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -34,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _STATE_FILE = "_feed_state.json"
+_log = logging.getLogger(__name__)
 
 
 def _state_path(out_dir: str) -> str:
@@ -55,10 +75,19 @@ def _store_state(out_dir: str, state: dict) -> None:
     os.replace(tmp, _state_path(out_dir))
 
 
-def feed_schema(table, payloads: bool = False) -> T.StructType:
+def feed_schema(table, payloads: bool = False, out_dir: str | None = None) -> T.StructType:
     """The feed's fixed schema: key columns + change_type + both sides'
     version columns (+ the newer side's payload columns when the feed
-    was published with ``payloads=True``) + provenance."""
+    was published with ``payloads=True``) + provenance.
+
+    With ``out_dir``, the schema PINNED at first publish is returned
+    (survives table renames — historical feed parquet keeps its original
+    column names, ADVICE r02); without it, built from the table's
+    current snapshot."""
+    if out_dir is not None:
+        state = _load_state(out_dir)
+        if "schema_json" in state:
+            return T.StructType.fromJson(json.loads(state["schema_json"]))
     snap = table.current_snapshot()
     key, vorder = set(snap["key"]), snap["version_order"]
     fields = table.schema(snap).fields
@@ -91,6 +120,59 @@ def _epoch_of(table, snap: dict) -> Any:
     return epochs[-1] if len(epochs) > len(parent_epochs) else None
 
 
+def _full_state_changes(table, sid: int, payloads: bool) -> DataFrame:
+    """Snapshot ``sid``'s FULL state expressed in feed-change shape: live
+    rows as inserts, tombstones as deletes (their version rides as
+    ``new_<col>``), ``old_<col>`` null. Used to bridge a history gap
+    left by ``expire_snapshots`` — replaying it through any LWW consumer
+    (``apply_feed`` / ``merge_changelog``) is idempotent, so at-least-
+    once redelivery of already-seen keys is harmless by contract."""
+    from web3research_etl_spark.lake.table import _DELETED_COL
+
+    snap = table.snapshot(sid)
+    key, vorder = set(snap["key"]), snap["version_order"]
+    fields = table.schema(snap).fields
+    ver_fields = [f for f in fields if f.name in set(vorder)]
+    pay_fields = [f for f in fields if f.name not in key | set(vorder)] if payloads else []
+    full = table.read(snapshot_id=sid, include_deleted=True)
+    dead = F.coalesce(F.col(_DELETED_COL), F.lit(False))
+    sel = [F.col(f.name) for f in fields if f.name in key]
+    sel.append(F.when(dead, F.lit("delete")).otherwise(F.lit("insert")).alias("change_type"))
+    sel += [F.col(f.name).alias(f"new_{f.name}") for f in ver_fields]
+    sel += [F.lit(None).cast(f.dataType).alias(f"old_{f.name}") for f in ver_fields]
+    sel += [F.when(~dead, F.col(f.name)).alias(f.name) for f in pay_fields]
+    return full.select(*sel)
+
+
+def _align_to_pinned(out: DataFrame, pinned: list[str]) -> DataFrame:
+    """Map a freshly-computed diff onto the feed's pinned column names.
+
+    - identical → as-is;
+    - pinned ⊆ current (payload column ADDED since the pin) → select the
+      pinned columns only, logging what was dropped;
+    - same length (pure RENAME — field order is preserved by alter, and
+      the feed column order derives deterministically from field order)
+      → positional rename;
+    - anything else → the feed cannot represent the evolution; raise.
+    """
+    cur = out.columns
+    if cur == pinned:
+        return out
+    if set(pinned) <= set(cur):
+        dropped = [c for c in cur if c not in set(pinned)]
+        _log.warning(
+            "feed schema pinned before column(s) %s existed; not riding them "
+            "along — start a new feed dir to widen the feed", dropped
+        )
+        return out.select(*pinned)
+    if len(cur) == len(pinned):
+        return out.toDF(*pinned)
+    raise ValueError(
+        f"feed schema pinned as {pinned} cannot represent current diff "
+        f"columns {cur}; start a new feed directory"
+    )
+
+
 def publish_changes(table, out_dir: str, payloads: bool = False) -> dict:
     """Publish every not-yet-published data snapshot's diff to the feed.
 
@@ -98,17 +180,20 @@ def publish_changes(table, out_dir: str, payloads: bool = False) -> dict:
     every insert/update row (null for deletes) — a feed a downstream
     mirror can replicate from (see ``apply_feed``).
 
-    Returns {"published": [snapshot ids], "through": last_id}. Pure
-    metadata snapshots (schema evolution, compaction that rewrote no
-    live rows) produce empty diffs and publish no directory — consumers
-    never see them.
-    """
+    Returns {"published": [snapshot ids], "through": last_id,
+    "gap_bridged": [ids published as full state]}. Pure metadata
+    snapshots (schema evolution, compaction that rewrote no live rows)
+    produce empty diffs and publish no directory — consumers never see
+    them. A snapshot whose parent manifest was removed by
+    ``expire_snapshots`` is bridged with a full-state publish instead of
+    wedging the stream (ADVICE r02)."""
     os.makedirs(out_dir, exist_ok=True)
     state = _load_state(out_dir)
     ids = table.snapshot_ids()
     start_after = state["published_through"]
     todo = [s for s in ids if start_after is None or s > start_after]
     published: list[int] = []
+    bridged: list[int] = []
     for sid in todo:
         snap = table.snapshot(sid)
         parent = snap.get("parent")
@@ -117,28 +202,85 @@ def publish_changes(table, out_dir: str, payloads: bool = False) -> dict:
             state["published_through"] = sid
             _store_state(out_dir, state)
             continue
-        chg = table.read_changes(parent, sid, include_payload=payloads)
-        epoch = _epoch_of(table, snap)
+        try:
+            chg = table.read_changes(parent, sid, include_payload=payloads)
+            epoch = _epoch_of(table, snap)
+        except FileNotFoundError:
+            # parent manifest expired (maintain --expire-keep) — the diff
+            # is unrecoverable; bridge with this snapshot's full state
+            _log.warning(
+                "feed gap: snapshot %d's parent %s expired; publishing full "
+                "state as inserts/deletes (idempotent for LWW consumers)",
+                sid, parent,
+            )
+            chg = _full_state_changes(table, sid, payloads)
+            epoch = None
+            bridged.append(sid)
         out = chg.withColumn("snapshot_id", F.lit(sid).cast("long")).withColumn(
             "epoch_id",
             F.lit(int(epoch)).cast("long") if epoch is not None else F.lit(None).cast("long"),
         )
+        if "columns" in state:
+            out = _align_to_pinned(out, state["columns"])
+        else:
+            # first publish pins the feed's schema forever (rename-proof)
+            state["columns"] = out.columns
+            state["schema_json"] = out.schema.json()
         sdir = os.path.join(out_dir, f"s{sid:08d}")
-        # overwrite => crash-idempotent: a republish lands byte-equivalent
-        # rows in the same directory
-        if not out.isEmpty():
-            out.write.mode("overwrite").parquet(sdir)
-            published.append(sid)
+        # persist: the emptiness probe and the write share ONE diff
+        # computation (the full-outer bucket diff is the epoch's cost)
+        out = out.persist()
+        try:
+            # overwrite => crash-idempotent: a republish lands
+            # byte-equivalent rows in the same directory
+            if not out.isEmpty():
+                out.write.mode("overwrite").parquet(sdir)
+                published.append(sid)
+        finally:
+            out.unpersist()
         state["published_through"] = sid
         _store_state(out_dir, state)
-    return {"published": published, "through": state["published_through"]}
+    return {
+        "published": published,
+        "through": state["published_through"],
+        "gap_bridged": bridged,
+    }
+
+
+def expire_feed(table, out_dir: str) -> dict:
+    """Feed retention: remove ``s<id>/`` dirs for snapshots older than
+    the table's oldest retained snapshot — the feed analog of
+    ``expire_snapshots``, bounding a long-running ``sync --feed``'s
+    otherwise append-forever directory.
+
+    Consumer contract: a tailing consumer's file-source checkpoint must
+    already be PAST every pruned directory (prune lags table retention,
+    and table retention is sized to consumer lag). A fresh consumer
+    starting after a prune sees a feed whose earliest entries may begin
+    mid-history; it should bootstrap from the table itself, then tail.
+    """
+    floor = min(table.snapshot_ids())
+    removed: list[int] = []
+    if not os.path.isdir(out_dir):
+        return {"removed": removed, "floor": floor}
+    for name in sorted(os.listdir(out_dir)):
+        if not (name.startswith("s") and name[1:].isdigit()):
+            continue
+        sid = int(name[1:])
+        if sid < floor:
+            shutil.rmtree(os.path.join(out_dir, name))
+            removed.append(sid)
+    return {"removed": removed, "floor": floor}
 
 
 def stream_feed(spark, table, out_dir: str, payloads: bool = False) -> DataFrame:
-    """Tail the materialized feed as a Structured Streaming source."""
-    return spark.readStream.schema(feed_schema(table, payloads=payloads)).option(
-        "pathGlobFilter", "*.parquet"
-    ).parquet(os.path.join(out_dir, "s*"))
+    """Tail the materialized feed as a Structured Streaming source.
+    Reads with the feed's PINNED schema when one was persisted (so a
+    table rename after the feed started cannot null out historical
+    files), else the table's current feed schema."""
+    return spark.readStream.schema(
+        feed_schema(table, payloads=payloads, out_dir=out_dir)
+    ).option("pathGlobFilter", "*.parquet").parquet(os.path.join(out_dir, "s*"))
 
 
 def apply_feed(mirror, feed: DataFrame, epoch_id) -> dict:

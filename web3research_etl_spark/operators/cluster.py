@@ -20,16 +20,21 @@ label chains so rounds grow ~O(log diameter) rather than O(diameter)
 round bound; hash-to-min-with-jumping is simpler and equally join-only).
 Near-dup graphs are overwhelmingly tiny dense cliques with diameter
 2-3, so in practice 3-4 rounds converge. Every round materializes via
-localCheckpoint() — iterative Catalyst plans otherwise double in depth
-per round and re-execute the whole history each action. On a real
-cluster point spark.checkpoint.dir at durable storage and swap
-localCheckpoint→checkpoint for fault tolerance across rounds.
+checkpoint.materialize() — iterative Catalyst plans otherwise double in
+depth per round and re-execute the whole history each action. On a real
+cluster set W3R_CHECKPOINT_DIR (or conf w3r.checkpoint.dir) at durable
+storage: every round then cuts lineage with a reliable checkpoint(), so
+an executor loss mid-iteration recomputes from the round's files
+instead of killing the job (localCheckpoint's truncated lineage is
+unrecoverable).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from web3research_etl_spark.checkpoint import materialize
 
 
 def connected_components(
@@ -43,19 +48,17 @@ def connected_components(
     pair graph — a stable, order-independent cluster id."""
     # materialize the pair list FIRST: the symmetric-closure union reads
     # it twice, and upstream candidate generators (LSH) are expensive
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+    e = materialize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    edges = materialize(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
-    labels = (
+    labels = materialize(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # 1) neighbor-min: min label over incident edges (map-side
         #    combinable — the shuffle carries one (u, min) pair per map
@@ -81,16 +84,16 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        jumped = (
+        jumped = materialize(
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 stepped["node"].alias("node"),
                 F.coalesce(parent["p_label"], stepped["label"]).alias("label"),
-            )
+            ),
             # lazy: the convergence agg below is the round's one action
             # and materializes the checkpoint as it runs — eager=True
             # would spend a second action per round just to materialize
-            .localCheckpoint(eager=False)
+            eager=False,
         )
         # convergence: labels are monotone non-increasing per node, so
         # the label SUM strictly decreases until the fixpoint — one
@@ -102,8 +105,17 @@ def connected_components(
         ).collect()[0]["s"]
         labels = jumped
         if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+            converged = True
             break  # empty node set, or no label moved
         prev_sum = cur_sum
+    if not converged:
+        # silent non-convergence would hand wrong cluster ids downstream
+        # (multiple "canonicals" per true cluster → under-deletion)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; raise max_rounds (rounds grow ~O(log diameter) — "
+            "hitting 50 means the pair graph is pathological)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

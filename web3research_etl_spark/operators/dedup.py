@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from web3research_etl_spark.checkpoint import materialize
 from web3research_etl_spark.operators.text import exploded_shingles, md5_int60
 
 # ---------------------------------------------------------------------------
@@ -52,11 +53,11 @@ def ngram_jaccard_pairs(
     ``max_bucket_size`` caps the per-shingle bucket (quadratic guard)."""
     # one materialization, FOUR consumers (sizes, bucket histogram, both
     # self-join sides) — unmaterialized, the shingle explode re-runs per
-    # consumer. At corpus scale swap localCheckpoint for checkpoint() to
-    # a durable dir (this frame is O(corpus chars)); this operator is
-    # the exact/oracle path regardless — the scale path is
-    # ngram_jaccard_via_lsh.
-    sh = exploded_shingles(docs, k).localCheckpoint()
+    # consumer. materialize() = localCheckpoint here, durable
+    # checkpoint() when W3R_CHECKPOINT_DIR is set (this frame is
+    # O(corpus chars)); this operator is the exact/oracle path
+    # regardless — the scale path is ngram_jaccard_via_lsh.
+    sh = materialize(exploded_shingles(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bn")).filter(
         F.col("bn") <= max_bucket_size
@@ -126,7 +127,7 @@ def ngram_jaccard_via_lsh(
         # join. Costs recall only in the est/true tail; keeps the output
         # a subset of the exact operator with identical values.
         cands = cands.filter(F.col("est_jaccard") >= min_est)
-    cands = cands.select("doc_a", "doc_b").localCheckpoint()
+    cands = materialize(cands.select("doc_a", "doc_b"))
     # exact verification only ever touches CANDIDATE docs: semi-join the
     # shingle frame down to them before materializing — at a web corpus
     # that's the difference between re-exploding everything and holding
@@ -137,13 +138,11 @@ def ngram_jaccard_via_lsh(
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = (
+    sh = materialize(
         # no broadcast hint: AQE broadcasts when the candidate set is
         # small and falls back to a shuffle semi-join when dedup finds
         # millions of candidates — forcing broadcast would OOM there
-        exploded_shingles(docs, k)
-        .join(cand_docs, "doc_id", "left_semi")
-        .localCheckpoint()
+        exploded_shingles(docs, k).join(cand_docs, "doc_id", "left_semi")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -207,9 +206,8 @@ def minhash_lsh_candidates(
     # est-jaccard sides); unmaterialized, Catalyst re-runs the whole
     # shingle-explode+agg per consumer — measured 15.9 s vs ~5 s at
     # sf0.1. It is tiny (num_hashes longs per doc), so materialize it
-    # once. On a multi-executor cluster prefer checkpoint() to a
-    # configured dir; localCheckpoint keeps the sandbox dependency-free.
-    sig = minhash_signatures(docs, k, num_hashes).localCheckpoint()
+    # once (durable checkpoint when W3R_CHECKPOINT_DIR is set).
+    sig = materialize(minhash_signatures(docs, k, num_hashes))
     band_cols = [
         F.md5(
             F.concat_ws(

@@ -85,6 +85,18 @@ def reconcile_window(
       been tombstoned; heal()'s orphan branch synthesizes the delete).
     Keys untouched by the window are invisible — true orphan sweeps
     need the unwindowed check; that blindness is the price of O(window).
+
+    Pass ``stored = table.read(include_deleted=True)`` so the table's
+    TOMBSTONES are visible (the `_deleted` flag is honored when
+    present). Without them, a key deleted by a post-window (or
+    out-of-window) event that outranks W would look 'missing', and a
+    heal would resurrect it against LWW order (ADVICE r02). With them:
+    - tombstone at-or-past W → 'ok' (the delete outranks the window
+      winner — nothing to heal);
+    - tombstone behind an upsert W → 'missing' (W should have
+      resurrected the key; read() hides it, so heal re-applies W);
+    - tombstone and W is a delete → 'ok' (dead as expected; version
+      skew between two deletes is immaterial to live state).
     """
     win = lww_dedup_agg(
         changelog_window.select("op", "url", "warc_ts", "event_seq", "html", "lang"),
@@ -96,8 +108,18 @@ def reconcile_window(
         F.col("warc_ts").alias("expected_ts"),
         F.col("event_seq").alias("expected_seq"),
     )
+    from web3research_etl_spark.lake.table import _DELETED_COL
+
+    dead = (
+        F.coalesce(F.col(_DELETED_COL), F.lit(False))
+        if _DELETED_COL in stored.columns
+        else F.lit(False)
+    )
     s = stored.select(
-        F.col(key), F.col("warc_ts").alias("stored_ts"), F.col("event_seq").alias("stored_seq")
+        F.col(key),
+        F.col("warc_ts").alias("stored_ts"),
+        F.col("event_seq").alias("stored_seq"),
+        dead.alias("_stored_dead"),
     )
     joined = win.join(s, key, "left_outer")
     stored_behind = (F.col("stored_ts") < F.col("expected_ts")) | (
@@ -110,6 +132,9 @@ def reconcile_window(
         "expected_seq",
         F.when(F.col("stored_seq").isNull() & (F.col("op") != "D"), F.lit("missing"))
         .when(F.col("stored_seq").isNull(), F.lit("ok"))  # deleted as expected
+        .when(F.col("_stored_dead") & (F.col("op") == "D"), F.lit("ok"))
+        .when(F.col("_stored_dead") & stored_behind, F.lit("missing"))
+        .when(F.col("_stored_dead"), F.lit("ok"))  # newer tombstone outranks W
         .when(stored_behind & (F.col("op") == "D"), F.lit("orphan"))
         .when(stored_behind, F.lit("divergent"))
         .otherwise(F.lit("ok"))
