@@ -90,6 +90,67 @@ def apply_fanout_batch(
         cached.unpersist()
 
 
+def check_fanout(
+    tables: dict[str, LakeTable],
+    changelog: DataFrame,
+    discriminator,
+    routes: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+    heal: bool = False,
+    heal_epoch: int | None = None,
+) -> dict[str, dict]:
+    """Per-route reconcile (+ optional heal) across EVERY route table —
+    the set-based analog of the reference's `check` healing all 5 tables
+    of a block (/root/reference/src/ch_eth/sync.rs:100-115, 5× delete +
+    5× insert per bad block): here each route gets one distributed
+    reconcile plan over ITS changelog slice (sliced by the same
+    discriminator the fan-out used, so expectations match what the apply
+    path routed), and healing rides the same exactly-once merge.
+
+    ``changelog`` may be the full history or a bounded slice (the
+    ``check --since`` pattern); it is persisted once and every route's
+    expected-state scan reads the cache. Returns
+    {route: {"reconcile": {status: n}, "healed": bool}}. ``heal_epoch``
+    defaults to each table's own synthetic heal epoch (idempotent across
+    a crash-retry of the same sweep)."""
+    from pyspark.sql import functions as F
+
+    from web3research_etl_spark.operators.reconcile import (
+        expected_state,
+        heal as heal_table,
+        reconcile,
+    )
+
+    route_names = sorted(tables)
+    projections = {
+        r: (routes or {}).get(r, lambda df: df)
+        for r in route_names
+        if r != REST_ROUTE
+    }
+    cached = changelog.persist()
+    try:
+        routed = dispatch_by_type(cached, discriminator, projections)
+        out: dict[str, dict] = {}
+        for r in route_names:
+            if r not in routed:
+                continue
+            rep = reconcile(tables[r].read(), expected_state(routed[r]))
+            counts = {
+                row["status"]: row["n"]
+                for row in rep.groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            healed = False
+            if heal and any(k != "ok" for k in counts):
+                ep = heal_epoch if heal_epoch is not None else tables[
+                    r
+                ].synthetic_epoch_id("heal")
+                heal_table(tables[r], routed[r], epoch_id=ep, report=rep)
+                healed = True
+            out[r] = {"reconcile": counts, "healed": healed}
+        return out
+    finally:
+        cached.unpersist()
+
+
 def run_fanout_sync(
     spark: SparkSession,
     source_dir: str,
