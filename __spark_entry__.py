@@ -721,6 +721,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qv, n_centroids=16, n_probe=4, k=10)
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN over a TRAINED codebook (VERDICT r02 next #7): 2 Lloyd's
+    iterations from the deterministic first-8 init, per-iteration means
+    rounded to 6 decimals so the DuckDB oracle's replay of the SAME
+    iterations lands on bit-identical centroids (double summation order
+    differs across engines; rounding absorbs the ~1e-15 skew). Cell
+    assignment is the codegen-safe array-fold path (ivf_assign_array)."""
+    from web3research_etl_spark.operators.similarity import (
+        ivf_topk_trained,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = kmeans_centroids(emb, dim=64, n_centroids=8, n_iters=2, round_to=6)
+    return ivf_topk_trained(emb, qv, cents, n_probe=3, k=10)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN. Oracle-checked: the signature math is
     md5-int60-derived integer plane components times float32→double
@@ -1102,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_windowed_rates": q_events_windowed_rates,
         "clickers_minus_buyers": q_clickers_minus_buyers,
@@ -1317,6 +1336,66 @@ def _cos_expr(a: str, b: str) -> str:
     na = _COSINE.format(a=a, b=a)
     nb = _COSINE.format(a=b, b=b)
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _ann_ivf_kmeans_oracle(
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    n_probe: int = 3,
+    k: int = 10,
+    dim: int = 64,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of operators/similarity.py:kmeans_centroids +
+    ivf_topk_trained: the SAME deterministic first-N init, the SAME
+    Lloyd's iterations (argmax-cosine assignment with ties to the lower
+    centroid id; elementwise means rounded to ``round_to`` decimals —
+    the rounding is what makes the two engines' order-dependent double
+    sums land on identical centroids), then probe + exact re-rank."""
+
+    def _assign(cent: str, out: str) -> str:
+        return f"""
+        {out} AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos_expr('e.embedding', 'c.cvec')} DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN {cent} c) WHERE rn = 1)"""
+
+    ctes = [
+        f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        cent0 AS (
+          SELECT vec_id AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+          FROM embeddings WHERE vec_id < {n_centroids})"""
+    ]
+    for it in range(n_iters):
+        ctes.append(_assign(f"cent{it}", f"asg{it + 1}"))
+        ctes.append(f"""
+        m{it + 1} AS (
+          SELECT cid, i AS pos,
+                 round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)),
+                       {round_to}) AS m
+          FROM asg{it + 1}, range(1, {dim + 1}) t(i) GROUP BY cid, i),
+        nc{it + 1} AS (
+          SELECT cid, list(m ORDER BY pos) AS cvec FROM m{it + 1} GROUP BY cid),
+        cent{it + 1} AS (
+          -- empty cells keep their previous centroid
+          SELECT c.cid, COALESCE(n.cvec, c.cvec) AS cvec
+          FROM cent{it} c LEFT JOIN nc{it + 1} n ON n.cid = c.cid)""")
+    ctes.append(f"""
+        probe AS (
+          SELECT cid FROM cent{n_iters} c, q
+          ORDER BY {_cos_expr('c.cvec', 'q.qe')} DESC, cid ASC LIMIT {n_probe})""")
+    ctes.append(_assign(f"cent{n_iters}", "fin"))
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT f.vec_id, round({_cos_expr('f.embedding', 'q.qe')}, 6) AS cosine
+        FROM fin f, q
+        WHERE f.cid IN (SELECT cid FROM probe)
+        ORDER BY cosine DESC, f.vec_id ASC LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1718,6 +1797,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.rn = 1 AND s.centroid_id IN (SELECT centroid_id FROM probe)
             ORDER BY cosine DESC, s.vec_id ASC LIMIT 10
         """,
+        "ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(
+            n_centroids=8, n_iters=2, n_probe=3, k=10
+        ),
         "ann_lsh_topk": _ann_lsh_oracle(n_planes=8, dim=64, max_hamming=3, k=10),
         "events_windowed_rates": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,

@@ -174,6 +174,7 @@ def kmeans_centroids(
     dim: int,
     n_centroids: int = 16,
     n_iters: int = 5,
+    round_to: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd's k-means codebook build (optional upgrade over
     the deterministic first-N codebook). Init = first n_centroids
@@ -181,17 +182,26 @@ def kmeans_centroids(
     assign pass (narrow, codegen) + one elementwise-mean aggregation
     (posexplode → groupBy (cell, pos) avg — map-side combinable, shuffle
     is n_centroids×dim doubles). Empty cells keep their previous
-    centroid. Returns [(cid, vec)] for ivf_assign/ivf_assign_array."""
+    centroid. Returns [(cid, vec)] for ivf_assign/ivf_assign_array.
+
+    ``round_to`` rounds each mean to that many decimals (HALF_UP —
+    Spark round == DuckDB round for this): double sums are order-
+    dependent across engines, so an oracle replaying the iterations
+    needs the per-iteration rounding to land on bit-identical centroids
+    (the ~1e-15 relative summation skew vanishes at 6 decimals)."""
     cents = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
         for r in ivf_centroids(embeddings, n_centroids).collect()
     ]
     for _ in range(max(n_iters, 0)):
         assigned = ivf_assign_array(embeddings, cents)
+        mean_col = F.avg(F.col("v").cast("double"))
+        if round_to is not None:
+            mean_col = F.round(mean_col, round_to)
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(mean_col.alias("m"))
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -242,6 +252,47 @@ def ivf_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         ivf_assign(embeddings, cents)
+        .filter(F.col("cell").isin(probed))
+        .select(
+            "vec_id", F.round(cosine_guarded(F.col("embedding"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe + exact re-rank over a PRECOMPUTED codebook (the
+    ``kmeans_centroids`` output — the trained-index path VERDICT r02
+    asked to gate). Identical mechanics to ``ivf_topk`` but the cell
+    assignment is ``ivf_assign_array`` (one higher-order fold, codegen-
+    safe at any codebook size) and centroid choice is the caller's."""
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        # sequential double fold — matches cosine_expr / DuckDB list_sum
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        denom = (n1**0.5) * (n2**0.5)
+        return dot / denom if denom > 0 else -2.0
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda cv: (-_cos(query_vec, cv[1]), cv[0])
+        )[:n_probe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign_array(embeddings, centroids)
         .filter(F.col("cell").isin(probed))
         .select(
             "vec_id", F.round(cosine_guarded(F.col("embedding"), q), 6).alias("cosine")
