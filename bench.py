@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "ann_brute_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "events_windowed_rates",
     "dup_clusters",
     "corpus_curation",
