@@ -3,9 +3,15 @@
 Stands in for an Iceberg table (no lakehouse jars in this image; the
 design is 1:1 with Iceberg's model so a real catalog slots in):
 
-- **atomic commits**: each write produces an immutable snapshot JSON in
-  ``metadata/``; ``metadata/_current.json`` is flipped by atomic rename.
-  (The reference's 5 deletes + 5 inserts per reorg are NOT atomic —
+- **atomic commits with optimistic concurrency**: each write produces
+  an immutable snapshot JSON in ``metadata/``, CLAIMED by atomic
+  ``link(2)`` — the first writer to link ``vN.json`` wins snapshot N
+  (Iceberg's atomic metadata swap). A losing data commit rebases itself
+  onto the winner when their touched buckets are disjoint, else raises
+  ``CommitConflictError`` for the caller to re-run — multi-writer safe,
+  no locks. The newest listed manifest IS the current snapshot
+  (``_current.json`` is an advisory pointer). (The reference's 5
+  deletes + 5 inserts per reorg are NOT atomic —
   /root/reference/src/ch_eth/sync.rs:100-115; here a merge is one commit.)
 - **epoch commit markers** in the snapshot summary give idempotent
   re-delivery: an already-committed epoch is skipped, upgrading the
@@ -81,6 +87,16 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the snapshot id this commit wanted
+    and the two commits could not be linearized automatically (their
+    touched buckets overlap, or the racing commit changed schema/key/
+    bucket spec). The losing writer must re-run its operation against
+    the new current snapshot — exactly Iceberg's optimistic-concurrency
+    contract. Disjoint-bucket data commits never raise this: they are
+    rebased onto the winner inside ``_commit_data``."""
+
+
 class LakeTable:
     """One lake table rooted at a directory. Single-writer (driver-side
     commit protocol), many-reader. All data movement is Spark jobs; the
@@ -153,9 +169,20 @@ class LakeTable:
         return os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
 
     def current_snapshot(self) -> dict:
-        with open(os.path.join(self.meta_dir, "_current.json")) as f:
-            version = json.load(f)["version"]
-        return self.snapshot(version)
+        """Newest committed snapshot. The source of truth is the highest
+        claimed manifest (manifests are fully written THEN atomically
+        hard-linked into place, so every listed ``v*.json`` is complete
+        and its data files — written before the claim — all exist); the
+        ``_current.json`` pointer is advisory, kept for observability.
+        Max-id semantics make the multi-writer pointer race harmless: a
+        slow loser can never regress what readers see."""
+        ids = self.snapshot_ids()
+        if not ids:
+            # surface the same error shape load() has always promised
+            with open(os.path.join(self.meta_dir, "_current.json")) as f:
+                version = json.load(f)["version"]
+            return self.snapshot(version)
+        return self.snapshot(ids[-1])
 
     def snapshot(self, snapshot_id: int) -> dict:
         with open(self._snap_path(snapshot_id)) as f:
@@ -169,14 +196,32 @@ class LakeTable:
         )
 
     def _commit(self, snap: dict) -> None:
+        """Atomically CLAIM snapshot id N: the manifest is fully written
+        (and fsynced) to a temp name, then hard-linked to ``vN.json`` —
+        ``link(2)`` fails with EEXIST iff another writer claimed N first,
+        which is the whole optimistic-concurrency arbiter (Iceberg's
+        atomic-swap-on-metadata-pointer, expressed on a POSIX dir).
+        Readers never observe a partial manifest."""
         path = self._snap_path(snap["snapshot_id"])
-        if os.path.exists(path):
-            raise RuntimeError(f"snapshot collision: {path}")
-        _atomic_write_json(path, snap)
-        _atomic_write_json(
-            os.path.join(self.meta_dir, "_current.json"),
-            {"version": snap["snapshot_id"]},
-        )
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(f"snapshot collision: {path}") from None
+        finally:
+            os.unlink(tmp)
+        cur_path = os.path.join(self.meta_dir, "_current.json")
+        try:
+            with open(cur_path) as f:
+                cur = json.load(f)["version"]
+        except (FileNotFoundError, ValueError, KeyError):
+            cur = -1
+        if snap["snapshot_id"] > cur:
+            _atomic_write_json(cur_path, {"version": snap["snapshot_id"]})
 
     def committed_epochs(self, snap: dict | None = None) -> set:
         snap = snap or self.current_snapshot()
@@ -441,7 +486,10 @@ class LakeTable:
         small and schedule across whatever cores exist, instead of the
         partition count (and its skew pattern) changing with the
         cluster size."""
-        out_rel = os.path.join("data", f"s{snapshot_id:08d}")
+        # uuid suffix: two OCC writers preparing the same next id must
+        # never stage into one directory (the loser rebases to a higher
+        # id, but its files are already on disk under this name)
+        out_rel = os.path.join("data", f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
         out_abs = os.path.join(self.path, out_rel)
         snap = self.current_snapshot()
         ordered = [f.name for f in schema.fields] + [_DELETED_COL]
@@ -502,12 +550,18 @@ class LakeTable:
         new_id = snap["snapshot_id"] + 1
         staged = df.withColumn(_BUCKET_COL, self._bucket_expr(snap) if snap["key"] else F.lit(0))
         by_bucket = self._write_data_files(staged, new_id, self.schema(snap))
-        new_groups = list(snap["file_groups"]) + [
+        new_entries = [
             {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
             for b, ps in sorted(by_bucket.items())
         ]
-        self._commit_data(snap, new_id, "append", new_groups, epoch_id, summary_extra)
-        return new_id
+        new_groups = list(snap["file_groups"]) + new_entries
+        # appends never replace file groups → touched=∅: always
+        # rebaseable onto any concurrent commit
+        res = self._commit_data(
+            snap, new_id, "append", new_groups, epoch_id, summary_extra,
+            touched=set(), new_entries=new_entries,
+        )
+        return res["snapshot_id"]
 
     def merge_changelog(
         self,
@@ -656,14 +710,26 @@ class LakeTable:
         finally:
             for c in caches:
                 c.unpersist(blocking=False)
-        new_groups = keep_groups + [
+        new_entries = [
             {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
             for b, ps in sorted(by_bucket.items())
         ]
-        self._commit_data(snap, new_id, "merge", new_groups, epoch_id, summary_extra)
+        new_groups = keep_groups + new_entries
+        res = self._commit_data(
+            snap, new_id, "merge", new_groups, epoch_id, summary_extra,
+            touched=touched_set, new_entries=new_entries,
+        )
+        if res.get("already_committed"):
+            # a concurrent retry of the SAME epoch won the commit race —
+            # the idempotent-skip outcome, just discovered at commit time
+            return {
+                "skipped": True,
+                "snapshot_id": res["snapshot_id"],
+                "epoch_id": epoch_id,
+            }
         return {
             "skipped": False,
-            "snapshot_id": new_id,
+            "snapshot_id": res["snapshot_id"],
             "epoch_id": epoch_id,
             "touched_buckets": touched,
         }
@@ -728,21 +794,93 @@ class LakeTable:
         file_groups: list[dict],
         epoch_id: Any,
         summary_extra: dict | None,
-    ) -> None:
-        summary = dict(snap["summary"])
-        epochs = list(summary.get("committed_epochs", []))
-        if epoch_id is not None:
-            epochs.append(epoch_id)
-        summary["committed_epochs"] = epochs
-        if summary_extra:
-            summary.update(summary_extra)
-        new = dict(snap)
-        new["snapshot_id"] = new_id
-        new["parent"] = snap["snapshot_id"]
-        new["operation"] = operation
-        new["file_groups"] = file_groups
-        new["summary"] = summary
-        self._commit(new)
+        touched: set[int] | None = None,
+        new_entries: list[dict] | None = None,
+    ) -> dict:
+        """Commit a data snapshot on top of ``snap`` with optimistic
+        concurrency (Iceberg's commit loop). If another writer claimed
+        the id first, the commit REBASES onto the new current snapshot
+        when it can prove linearizability from metadata alone:
+
+        - ``touched``/``new_entries`` given (merge/append): every
+          touched bucket's file-group list must be IDENTICAL in the base
+          and the latest snapshot — then the two commits wrote disjoint
+          buckets and this one re-parents as latest ⊖ touched ⊕
+          new_entries. Appends pass ``touched=∅`` (never replace
+          groups): always rebaseable.
+        - the racing commit changed schema/key/bucket spec, or overlaps
+          a touched bucket, or this is a full-rewrite op (compact,
+          vacuum, rebucket — ``touched=None``): raise
+          ``CommitConflictError``; the caller re-runs against fresh
+          state. Data files already written stay orphaned until
+          ``remove_orphan_files`` (same as any crashed write).
+        - a racer already committed OUR epoch marker (crash-retry race
+          of the same micro-batch): return ``{"already_committed":
+          True}`` — the idempotent-skip outcome.
+
+        Returns {"snapshot_id": committed id} on success.
+        """
+        base = snap
+        while True:
+            summary = dict(base["summary"])
+            epochs = list(summary.get("committed_epochs", []))
+            if epoch_id is not None:
+                epochs.append(epoch_id)
+            summary["committed_epochs"] = epochs
+            if summary_extra:
+                summary.update(summary_extra)
+            new = dict(base)
+            new["snapshot_id"] = new_id
+            new["parent"] = base["snapshot_id"]
+            new["operation"] = operation
+            new["file_groups"] = file_groups
+            new["summary"] = summary
+            try:
+                self._commit(new)
+                return {"snapshot_id": new_id}
+            except CommitConflictError:
+                latest = self.current_snapshot()
+                if latest["snapshot_id"] < new_id:
+                    # claim raced our own retry loop's stale listing;
+                    # re-listing resolves it next iteration
+                    raise
+                if epoch_id is not None and epoch_id in set(
+                    latest["summary"].get("committed_epochs", [])
+                ):
+                    return {
+                        "already_committed": True,
+                        "snapshot_id": latest["snapshot_id"],
+                    }
+                if touched is None or new_entries is None:
+                    raise
+                if any(
+                    latest[k] != base[k]
+                    for k in ("current_schema_id", "key", "version_order", "n_buckets")
+                ):
+                    raise CommitConflictError(
+                        "concurrent schema/spec change; re-run the operation"
+                    ) from None
+
+                def _paths_by_bucket(s: dict) -> dict[int, tuple]:
+                    out: dict[int, list] = {}
+                    for fg in s["file_groups"]:
+                        out.setdefault(fg["bucket"], []).append(
+                            (fg["schema_id"], tuple(sorted(fg["paths"])))
+                        )
+                    return {b: tuple(sorted(v)) for b, v in out.items()}
+
+                pb, pl = _paths_by_bucket(base), _paths_by_bucket(latest)
+                overlap = [b for b in touched if pb.get(b) != pl.get(b)]
+                if overlap:
+                    raise CommitConflictError(
+                        f"concurrent commit rewrote touched bucket(s) {overlap}; "
+                        "re-run the merge against current state"
+                    ) from None
+                file_groups = [
+                    fg for fg in latest["file_groups"] if fg["bucket"] not in touched
+                ] + new_entries
+                base = latest
+                new_id = latest["snapshot_id"] + 1
 
     # ------------------------------------------------------------- utility
     def read_for_keys(self, keys: list, include_deleted: bool = False) -> DataFrame:
