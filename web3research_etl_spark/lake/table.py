@@ -78,6 +78,43 @@ def _check_epoch_id(epoch_id: Any) -> None:
         )
 
 
+# leading-key stat types we can JSON-roundtrip and order-compare exactly
+_STATS_TYPES = (int, float, str)
+
+
+def _footer_min_max(path: str, column: str):
+    """[min, max] of ``column`` across a parquet file, from the FOOTER
+    only (no data read) — what an Iceberg writer records per data file
+    in its manifest. Returns None when the footer can't prove a bound
+    (missing stats, unsupported type, NaN): absent stats must mean
+    "never skip", not "skip".
+
+    Parquet truncated string bounds are still valid bounds by spec (the
+    writer rounds max UP when truncating), so pruning on them stays
+    conservative-safe."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        ci = md.schema.names.index(column)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            for v in (mn, mx):
+                if not isinstance(v, _STATS_TYPES) or isinstance(v, bool):
+                    return None
+                if isinstance(v, float) and v != v:  # NaN orders nowhere
+                    return None
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return None if lo is None else [lo, hi]
+    except Exception:
+        return None
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -541,6 +578,38 @@ class LakeTable:
                     by_bucket.setdefault(b, []).append(rel)
         return by_bucket
 
+    def _new_entries(self, by_bucket: dict[int, list[str]], snap: dict) -> list[dict]:
+        """File-group entries for freshly written files, enriched with a
+        per-file ``stats`` map: relative path → [min, max] of the
+        LEADING key column, read from the parquet footers (no data
+        scan — the same per-file bounds an Iceberg manifest carries).
+        Files are sorted by key within each written partition
+        (``_write_data_files``), so the leading-key range per file is
+        tight and point lookups can skip whole files inside a bucket.
+        Stats are positional ("range of key_cols[0] at write time"):
+        a later column RENAME doesn't invalidate them because alter()
+        remaps the key list and values are untouched. Entries written
+        before this feature simply lack ``stats`` and are never
+        skipped."""
+        key = snap["key"]
+        out = []
+        for b, ps in sorted(by_bucket.items()):
+            e: dict[str, Any] = {
+                "bucket": b,
+                "schema_id": snap["current_schema_id"],
+                "paths": ps,
+            }
+            if key:
+                stats = {}
+                for p in ps:
+                    mm = _footer_min_max(os.path.join(self.path, p), key[0])
+                    if mm is not None:
+                        stats[p] = mm
+                if stats:
+                    e["stats"] = stats
+            out.append(e)
+        return out
+
     def append(self, df: DataFrame, epoch_id: Any = None, summary_extra: dict | None = None) -> int:
         """Blind append (no dedup) — the ledger/changelog path."""
         _check_epoch_id(epoch_id)
@@ -550,10 +619,7 @@ class LakeTable:
         new_id = snap["snapshot_id"] + 1
         staged = df.withColumn(_BUCKET_COL, self._bucket_expr(snap) if snap["key"] else F.lit(0))
         by_bucket = self._write_data_files(staged, new_id, self.schema(snap))
-        new_entries = [
-            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
-            for b, ps in sorted(by_bucket.items())
-        ]
+        new_entries = self._new_entries(by_bucket, snap)
         new_groups = list(snap["file_groups"]) + new_entries
         # appends never replace file groups → touched=∅: always
         # rebaseable onto any concurrent commit
@@ -710,10 +776,7 @@ class LakeTable:
         finally:
             for c in caches:
                 c.unpersist(blocking=False)
-        new_entries = [
-            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
-            for b, ps in sorted(by_bucket.items())
-        ]
+        new_entries = self._new_entries(by_bucket, snap)
         new_groups = keep_groups + new_entries
         res = self._commit_data(
             snap, new_id, "merge", new_groups, epoch_id, summary_extra,
@@ -930,8 +993,10 @@ class LakeTable:
                 for i, t in enumerate(tuples)
             ]
         ).collect()[0]
-        wanted = {row[f"b{i}"] for i in range(len(tuples))}
-        groups = [fg for fg in snap["file_groups"] if fg["bucket"] in wanted]
+        lead_by_bucket: dict[int, set] = {}
+        for i, t in enumerate(tuples):
+            lead_by_bucket.setdefault(row[f"b{i}"], set()).add(t[0])
+        groups = self._prune_groups_for_lookup(snap, lead_by_bucket)
         df = self._read_groups(snap, groups, include_deleted=include_deleted)
         if df is None:
             empty_schema = self.schema(snap)
@@ -949,6 +1014,43 @@ class LakeTable:
                 conj = eq if conj is None else (conj & eq)
             filt = conj if filt is None else (filt | conj)
         return df.filter(filt)
+
+    def _prune_groups_for_lookup(
+        self, snap: dict, lead_by_bucket: dict[int, set]
+    ) -> list[dict]:
+        """Two-level scan pruning for a point lookup: bucket pruning
+        (only buckets any looked-up key hashes to), then FILE skipping —
+        inside a surviving bucket, a file whose manifest [min, max] of
+        the leading key column cannot contain any of that bucket's
+        looked-up leading values is dropped from the scan before Spark
+        ever lists it. At 100 TB a hot bucket holds many generations of
+        merge output; stats turn "read the whole bucket" into "read the
+        file(s) whose key range matches". Conservative by construction:
+        entries or files without stats, and any type-incomparable
+        probe value, are always scanned."""
+        groups = []
+        for fg in snap["file_groups"]:
+            vals = lead_by_bucket.get(fg["bucket"])
+            if vals is None:
+                continue
+            stats = fg.get("stats") or {}
+            keep = []
+            for p in fg["paths"]:
+                mm = stats.get(p)
+                if mm is None:
+                    keep.append(p)
+                    continue
+                lo, hi = mm
+                try:
+                    if any(lo <= v <= hi for v in vals):
+                        keep.append(p)
+                except TypeError:
+                    keep.append(p)
+            if keep:
+                g = dict(fg)
+                g["paths"] = keep
+                groups.append(g)
+        return groups
 
     def rewrite_small_files(self, target_min_files_per_bucket: int = 1) -> dict:
         """Compaction (SURVEY S10 — the reference's OPTIMIZE sidecar,
@@ -975,10 +1077,7 @@ class LakeTable:
         new_id = snap["snapshot_id"] + 1
         staged = rows.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         by_b = self._write_data_files(staged, new_id, self.schema(snap))
-        groups = keep + [
-            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
-            for b, ps in sorted(by_b.items())
-        ]
+        groups = keep + self._new_entries(by_b, snap)
         self._commit_data(snap, new_id, "compact", groups, None, None)
         return {
             "skipped": False,
@@ -1005,10 +1104,7 @@ class LakeTable:
         ).withColumn(_BUCKET_COL, self._bucket_expr(snap))
         new_id = snap["snapshot_id"] + 1
         by_bucket = self._write_data_files(kept, new_id, self.schema(snap))
-        groups = [
-            {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
-            for b, ps in sorted(by_bucket.items())
-        ]
+        groups = self._new_entries(by_bucket, snap)
         self._commit_data(snap, new_id, "vacuum", groups, None, None)
         return {"skipped": False, "snapshot_id": new_id}
 
@@ -1036,10 +1132,7 @@ class LakeTable:
         else:
             staged = rows.withColumn(_BUCKET_COL, self._bucket_expr(staged_snap))
             by_b = self._write_data_files(staged, new_id, self.schema(snap))
-            groups = [
-                {"bucket": b, "schema_id": snap["current_schema_id"], "paths": ps}
-                for b, ps in sorted(by_b.items())
-            ]
+            groups = self._new_entries(by_b, snap)
         self._commit_data(staged_snap, new_id, "rebucket", groups, None, None)
         return {"skipped": False, "snapshot_id": new_id, "n_buckets": n_buckets}
 
