@@ -1068,6 +1068,15 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_doc_pack_chunks(spark, sf_dir):
+    """Sequence packing for LLM training (concatenate-then-chunk at a
+    512-token budget, per-language streams): one shuffle on the shard
+    column, per-shard running offsets, exact integer chunk ids."""
+    from web3research_etl_spark.operators.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), target_tokens=512)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1138,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_frac": q_doc_sample_frac,
         "doc_sample_stratified": q_doc_sample_stratified,
         "corpus_curation": q_corpus_curation,
+        "doc_pack_chunks": q_doc_pack_chunks,
     }
 
 
@@ -2004,5 +2014,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM q JOIN keep USING (doc_id) JOIN lang USING (doc_id)
             GROUP BY lang_pred
+        """,
+        "doc_pack_chunks": r"""
+            WITH toks AS (
+              SELECT lang AS shard, doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            offs AS (
+              SELECT shard, doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id) - n_tokens
+                       AS BIGINT) AS start_off
+              FROM toks
+            )
+            SELECT shard, start_off // 512 AS chunk_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM offs GROUP BY shard, chunk_id
         """,
     }

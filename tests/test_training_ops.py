@@ -422,3 +422,36 @@ def test_ivf_kmeans_recall_at_least_first_n(spark, emb):
     }
     assert len(exact & trained) >= len(exact & first_n)
     assert 0 in trained  # the query vector's own cell is always probed
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Stream packing conserves every doc and token, keeps chunk ids
+    dense per shard, and fills every non-terminal chunk past its target
+    (a doc STARTS in a chunk only when the previous chunks are full)."""
+    from web3research_etl_spark.operators.text import pack_sequences, token_count
+
+    target = 256
+    out = pack_sequences(docs, target_tokens=target).collect()
+    n_docs = docs.count()
+    n_tokens = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert sum(r["sum_tokens"] for r in out) == n_tokens
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        ids = [r["chunk_id"] for r in rows]
+        assert ids[0] == 0
+        # a chunk with no STARTING doc can be skipped only if a long doc
+        # straddles it entirely; token budget then still accounts for it
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["chunk_id"] > prev["chunk_id"]
+            assert prev["first_doc"] <= prev["last_doc"] < cur["first_doc"]
+
+
+def test_pack_sequences_single_shuffle(spark, docs):
+    from web3research_etl_spark.operators.text import pack_sequences
+
+    plan = pack_sequences(docs, 512)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -183,3 +183,48 @@ def canonical_url(url: Column) -> Column:
 def url_domain(url: Column) -> Column:
     """Registered host of a canonical URL ('' when schemeless)."""
     return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:]*)", 1)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    target_tokens: int = 2048,
+    shard_by: str = "lang",
+    order_by: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents into a
+    token stream (deterministic ``order_by`` order within each
+    ``shard_by`` shard) and cut it at ``target_tokens`` boundaries; a
+    document belongs to the chunk where it STARTS — the
+    concatenate-then-chunk semantics training pipelines use (documents
+    straddle cuts; nothing is dropped or padded). Returns one row per
+    (shard, chunk): doc count, token sum, first/last doc.
+
+    100-TB shape: ONE shuffle on the shard column, then an in-partition
+    sort for the running offset — there is deliberately no global
+    ordering (a global cumulative sum would serialize on one task). A
+    shard is a language / source / hash-bucket stream; packing is
+    embarrassingly parallel across shards. Offsets and chunk ids are
+    exact integer arithmetic (bigint DIV), so results are
+    oracle-reproducible — no float cumsum drift."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(order_by)
+    offs = docs.select(
+        F.col(shard_by).alias("shard"),
+        F.col(order_by),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    chunks = offs.withColumn(
+        "chunk_id", F.expr(f"start_off DIV {int(target_tokens)}")
+    )
+    return (
+        chunks.groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min(order_by).alias("first_doc"),
+            F.max(order_by).alias("last_doc"),
+        )
+    )
