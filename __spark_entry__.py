@@ -292,6 +292,38 @@ def q_cdc_feed(spark, sf_dir):
     )
 
 
+def q_cdc_ivm_event_type(spark, sf_dir):
+    """Incremental view maintenance: a per-event-type (count, decimal
+    sum) materialized view folded forward from CDC deltas ONLY — epoch
+    0's changes bootstrap it from empty, epoch 1's before/after images
+    (read_changes include_before) retract old contributions and add new
+    ones, including rows whose event_type MOVED between groups. The
+    oracle recomputes the aggregate from scratch over the final LWW
+    state: equality proves delta maintenance is exact (decimal sums —
+    float deltas would drift). At 100 TB the view update is
+    O(changed rows), never a base-table scan."""
+    from web3research_etl_spark.lake.table import LakeTable
+    from web3research_etl_spark.operators.ivm import maintain_view
+
+    t, snap_a, snap_b = _two_epoch_state_table(spark, sf_dir)
+    d = _query_scratch_dir("drv_ivm")
+    view = LakeTable.create(
+        spark,
+        f"{d}/view",
+        spark.createDataFrame(
+            [], "event_type string, n_rows bigint, total_value decimal(18,2), epoch bigint"
+        ).schema,
+        key=["event_type"],
+        version_order=["epoch"],
+        n_buckets=2,
+    )
+    vexpr = lambda col: F.round(col("value"), 2).cast("decimal(18,2)")  # noqa: E731
+    base0 = t.snapshot(snap_a)["parent"]
+    maintain_view(view, t, base0, snap_a, "event_type", vexpr, 0)
+    maintain_view(view, t, snap_a, snap_b, "event_type", vexpr, 1)
+    return view.read().select("event_type", "n_rows", "total_value")
+
+
 def q_cdc_tombstones(spark, sf_dir):
     """Keys whose LWW winner is a delete — the tombstone set."""
     ch = _events_changelog(spark, sf_dir)
@@ -1096,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changes_between": q_cdc_changes_between,
         "cdc_feed": q_cdc_feed,
+        "cdc_ivm_event_type": q_cdc_ivm_event_type,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -1422,6 +1455,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, event_id AS last_event_id, event_type AS last_event_type,
                    round(value, 2) AS last_value
             FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_ivm_event_type": f"""
+            {lww}
+            SELECT event_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS total_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+            GROUP BY event_type
         """,
         "fanout_merge_state": f"""
             WITH changelog AS ({_CHANGELOG_SQL}),

@@ -381,6 +381,7 @@ class LakeTable:
         from_snapshot_id: int,
         to_snapshot_id: int,
         include_payload: bool = False,
+        include_before: bool = False,
     ) -> DataFrame:
         """Incremental CDC read: net row-level changes between two
         snapshots (the Iceberg `incremental scan` / CDC-read analog —
@@ -413,6 +414,12 @@ class LakeTable:
         ``include_payload=True`` the newer side's remaining data columns
         ride along (null for deletes) — enough to replicate the table:
         feed each row back through ``merge_changelog`` with op I/U/D.
+        ``include_before=True`` additionally emits the prior LIVE row's
+        payload as ``old_<col>`` (Debezium's before-image; null for
+        inserts, including an insert over a tombstone) — what an
+        incremental-view-maintenance consumer needs to retract a
+        deleted/updated row's old contribution from a downstream
+        aggregate without re-reading any base state.
         """
         if to_snapshot_id <= from_snapshot_id:
             raise ValueError("read_changes requires from_snapshot_id < to_snapshot_id")
@@ -432,7 +439,7 @@ class LakeTable:
         ver_fields = [f for f in schema_b.fields if f.name in set(vorder)]
         payload_fields = (
             [f for f in schema_b.fields if f.name not in set(key) | set(vorder)]
-            if include_payload
+            if (include_payload or include_before)
             else []
         )
         out_schema = T.StructType(
@@ -441,6 +448,11 @@ class LakeTable:
             + [T.StructField(f"new_{f.name}", f.dataType, True) for f in ver_fields]
             + [T.StructField(f"old_{f.name}", f.dataType, True) for f in ver_fields]
             + [T.StructField(f.name, f.dataType, True) for f in payload_fields]
+            + (
+                [T.StructField(f"old_{f.name}", f.dataType, True) for f in payload_fields]
+                if include_before
+                else []
+            )
         )
         if not changed:
             return self.spark.createDataFrame([], out_schema)
@@ -469,7 +481,8 @@ class LakeTable:
             return df
 
         pay_names = [f.name for f in payload_fields]
-        old_k = _side(snap_a).select(*key, *vorder, _DELETED_COL).alias("o")
+        old_pay = pay_names if include_before else []
+        old_k = _side(snap_a).select(*key, *vorder, *old_pay, _DELETED_COL).alias("o")
         new_k = _side(snap_b).select(*key, *vorder, *pay_names, _DELETED_COL).alias("n")
         cond = None
         for k in key:
@@ -498,10 +511,15 @@ class LakeTable:
             F.when(old_live, F.col(f"o.{v}")).alias(f"old_{v}") for v in vorder
         ]
         sel_pay = [F.col(f"n.{p}").alias(p) for p in pay_names]
+        # before-image = prior LIVE payload (tombstones carry nulled
+        # payload anyway, but the guard keeps the contract explicit)
+        sel_before = [
+            F.when(old_live, F.col(f"o.{p}")).alias(f"old_{p}") for p in old_pay
+        ]
         return (
             joined.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
-            .select(*sel_key, "change_type", *sel_ver, *sel_pay)
+            .select(*sel_key, "change_type", *sel_ver, *sel_pay, *sel_before)
         )
 
     # --------------------------------------------------------------- write
