@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "events_windowed_rates",
     "dup_clusters",
     "corpus_curation",
+    "doc_pack_chunks",
+    "cdc_ivm_event_type",
 ]
 
 

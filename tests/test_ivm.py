@@ -140,3 +140,130 @@ def test_before_image_null_for_insert_over_tombstone(spark, tmp_table_dir):
     row = base.read_changes(s2, s3, include_before=True).collect()[0]
     assert row["change_type"] == "insert"
     assert row["old_grp"] is None and row["old_value"] is None
+
+
+# ----------------------------------------------------------- streaming wiring
+
+PAGES_VIEW_DDL = "lang string, n_rows bigint, total_value decimal(18,2), epoch bigint"
+PAGES_VEXPR = lambda col: F.coalesce(  # noqa: E731
+    F.length(col("text")), F.lit(0)
+).cast("decimal(18,2)")
+
+
+def _mk_pages_view(spark, path):
+    return LakeTable.create(
+        spark,
+        path,
+        spark.createDataFrame([], PAGES_VIEW_DDL).schema,
+        key=["lang"],
+        version_order=["epoch"],
+        n_buckets=2,
+    )
+
+
+def _pages_recompute(base):
+    return {
+        r["lang"]: (r["n_rows"], r["total_value"])
+        for r in base.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+
+
+def _view_rows(view):
+    return {
+        r["lang"]: (r["n_rows"], r["total_value"])
+        for r in view.read().select("lang", "n_rows", "total_value").collect()
+    }
+
+
+def test_streaming_view_matches_recompute(spark, tmp_table_dir):
+    """run_sync(view=...) maintains the per-lang view across every
+    micro-batch; final view == from-scratch aggregate of the table."""
+    from web3research_etl_spark.changelog import generate_changelog
+    from web3research_etl_spark.schemas import (
+        PAGES_KEY,
+        PAGES_SCHEMA,
+        PAGES_VERSION_ORDER,
+    )
+    from web3research_etl_spark.streaming.pipeline import run_sync
+
+    ch_dir = f"{tmp_table_dir}/ch"
+    generate_changelog(spark, 1200).repartition(4).write.parquet(ch_dir)
+    base = LakeTable.create(
+        spark, f"{tmp_table_dir}/base", PAGES_SCHEMA,
+        key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+    )
+    view = _mk_pages_view(spark, f"{tmp_table_dir}/view")
+    q = run_sync(
+        spark, ch_dir, base, f"{tmp_table_dir}/ckpt",
+        available_now=True, max_files_per_trigger=2,
+        view=view, view_group="lang", view_value=PAGES_VEXPR,
+    )
+    q.awaitTermination()
+    assert len(base.committed_epochs()) >= 2  # several micro-batches folded
+    assert _view_rows(view) == _pages_recompute(base)
+    assert (
+        view.current_snapshot()["summary"]["view_through"]
+        == base.current_snapshot()["snapshot_id"]
+    )
+
+
+def test_view_fold_telescopes_over_missed_epochs(spark, tmp_table_dir):
+    """A crash between base-merge and view-fold just widens the next
+    fold's span — net deltas telescope exactly."""
+    from web3research_etl_spark.operators.ivm import sync_view
+
+    base = _mk_base(spark, f"{tmp_table_dir}/base")
+    view = _mk_view(spark, f"{tmp_table_dir}/view")
+    base.merge_changelog(
+        spark.createDataFrame([("I", f"u{i}", 1, "a", 1.0) for i in range(4)], BASE_DDL),
+        epoch_id=0,
+    )
+    sync_view(view, base, "grp", VALUE_EXPR)
+    # two merges with NO fold in between (simulated crash window)
+    base.merge_changelog(
+        spark.createDataFrame([("U", "u0", 10, "b", 2.0)], BASE_DDL), epoch_id=1
+    )
+    base.merge_changelog(
+        spark.createDataFrame([("D", "u1", 11, None, None)], BASE_DDL), epoch_id=2
+    )
+    sync_view(view, base, "grp", VALUE_EXPR)
+    _assert_view_matches(view, base)
+    # re-running the same fold is the idempotent skip
+    r = sync_view(view, base, "grp", VALUE_EXPR)
+    assert r["skipped"] is True
+
+
+def test_view_self_heals_after_snapshot_expiry(spark, tmp_table_dir):
+    """Snapshot expiry breaking the incremental chain falls back to one
+    full refresh — including deleting groups that vanished meanwhile."""
+    from web3research_etl_spark.operators.ivm import sync_view
+
+    base = _mk_base(spark, f"{tmp_table_dir}/base")
+    view = _mk_view(spark, f"{tmp_table_dir}/view")
+    base.merge_changelog(
+        spark.createDataFrame(
+            [("I", "u1", 1, "a", 1.0), ("I", "u2", 1, "b", 2.0)], BASE_DDL
+        ),
+        epoch_id=0,
+    )
+    sync_view(view, base, "grp", VALUE_EXPR)
+    # group b vanishes; then expire history so the consumed-through
+    # manifest is gone
+    for e, rows in enumerate(
+        [[("D", "u2", 5, None, None)], [("U", "u1", 6, "a", 3.0)],
+         [("I", "u3", 7, "c", 4.0)]], start=1
+    ):
+        base.merge_changelog(spark.createDataFrame(rows, BASE_DDL), epoch_id=e)
+    base.expire_snapshots(retain_last=1)
+    r = sync_view(view, base, "grp", VALUE_EXPR)
+    assert not r.get("skipped")
+    _assert_view_matches(view, base)
+    assert {x["grp"] for x in view.read().collect()} == {"a", "c"}

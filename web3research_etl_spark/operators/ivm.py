@@ -69,7 +69,8 @@ def aggregate_deltas(
 
 
 def apply_aggregate_deltas(
-    view: LakeTable, deltas: DataFrame, epoch_id: int
+    view: LakeTable, deltas: DataFrame, epoch_id: int,
+    summary_extra: dict | None = None,
 ) -> dict:
     """Fold a delta batch into a materialized-view LakeTable with schema
     ``(group, n_rows, total_value, epoch)`` keyed by the group column
@@ -101,7 +102,7 @@ def apply_aggregate_deltas(
         F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         "*",
     )
-    return view.merge_changelog(ops, epoch_id=epoch_id)
+    return view.merge_changelog(ops, epoch_id=epoch_id, summary_extra=summary_extra)
 
 
 def maintain_view(
@@ -112,12 +113,15 @@ def maintain_view(
     group_col: str,
     value_expr,
     epoch_id: int,
+    summary_extra: dict | None = None,
 ) -> dict:
     """One IVM step: read the base table's net changes between two
     snapshots (before-images on), derive the value column via
     ``value_expr`` (a Column fn applied to both the new and the
     ``old_``-prefixed image — pass the rounding/decimal cast here so
-    retraction cancels exactly), aggregate deltas, fold into the view."""
+    retraction cancels exactly), aggregate deltas, fold into the view.
+    Folding a multi-epoch span in one step is exact: ``read_changes``
+    returns NET changes, and additive deltas telescope."""
     chg = base.read_changes(
         from_snapshot_id, to_snapshot_id, include_before=True
     )
@@ -125,4 +129,79 @@ def maintain_view(
         "old__v", value_expr(lambda c: F.col(f"old_{c}"))
     )
     deltas = aggregate_deltas(chg, group_col, "_v")
-    return apply_aggregate_deltas(view, deltas, epoch_id)
+    return apply_aggregate_deltas(view, deltas, epoch_id, summary_extra=summary_extra)
+
+
+def _full_aggregate(base: LakeTable, group_col: str, value_expr) -> DataFrame:
+    return (
+        base.read()
+        .select(F.col(group_col), value_expr(F.col).alias("_v"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_v").cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+def refresh_view_full(
+    view: LakeTable, base: LakeTable, group_col: str, value_expr, epoch_id: int
+) -> dict:
+    """Full (re)materialization: one base scan, then reconcile against
+    the view's current rows so groups that vanished are DELETED, and
+    record how far the view has consumed (``view_through`` in the
+    commit summary). Used to bootstrap a fresh view and to recover when
+    the incremental chain is broken (snapshot expiry removed the
+    last-consumed manifest — same gap the CDC feed bridges with a
+    full-state publish)."""
+    through = base.current_snapshot()["snapshot_id"]
+    gcol, *_ = view.current_snapshot()["key"]
+    want = _full_aggregate(base, group_col, value_expr).withColumnRenamed(
+        group_col, gcol
+    )
+    have = view.read().select(gcol)
+    gone = have.join(want.select(gcol), gcol, "left_anti")
+    rows = want.select(
+        F.lit("U").alias("op"),
+        gcol,
+        "n_rows",
+        "total_value",
+        F.lit(epoch_id).cast("bigint").alias("epoch"),
+    ).unionByName(
+        gone.select(
+            F.lit("D").alias("op"),
+            gcol,
+            F.lit(None).cast("bigint").alias("n_rows"),
+            F.lit(None).cast("decimal(18,2)").alias("total_value"),
+            F.lit(epoch_id).cast("bigint").alias("epoch"),
+        )
+    )
+    return view.merge_changelog(
+        rows, epoch_id=epoch_id, summary_extra={"view_through": through}
+    )
+
+
+def sync_view(view: LakeTable, base: LakeTable, group_col: str, value_expr) -> dict:
+    """Advance the view to the base table's current snapshot — the call
+    a streaming pipeline makes after each epoch's merge commit. The
+    consumed-through marker lives in the VIEW's own commit summary, so
+    the fold and its bookkeeping are one atomic commit: a crash between
+    base-merge and view-fold just leaves a wider (still exact,
+    telescoping) span for the next call. A missing manifest on the
+    incremental path (snapshot expiry) falls back to a full refresh.
+    Epoch ids are the base snapshot id folded through — re-running the
+    same fold hits the idempotent-skip."""
+    vsnap = view.current_snapshot()
+    through = vsnap["summary"].get("view_through")
+    cur = base.current_snapshot()["snapshot_id"]
+    if through is None:
+        return refresh_view_full(view, base, group_col, value_expr, epoch_id=cur)
+    if cur <= through:
+        return {"skipped": True, "snapshot_id": vsnap["snapshot_id"]}
+    try:
+        return maintain_view(
+            view, base, through, cur, group_col, value_expr,
+            epoch_id=cur, summary_extra={"view_through": cur},
+        )
+    except FileNotFoundError:
+        return refresh_view_full(view, base, group_col, value_expr, epoch_id=cur)

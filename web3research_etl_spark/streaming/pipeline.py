@@ -55,6 +55,9 @@ def run_sync(
     source: DataFrame | None = None,
     feed_dir: str | None = None,
     feed_payloads: bool = False,
+    view: LakeTable | None = None,
+    view_group: str | None = None,
+    view_value=None,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
@@ -79,6 +82,16 @@ def run_sync(
     Spark late-data policy, SURVEY T2), which would silence events the
     LWW backstop never sees. Size it to covered-lag + dup window; state
     stays bounded to one horizon of keys either way.
+
+    ``view`` (+ ``view_group``, ``view_value``) maintains a grouped
+    (count, decimal sum) materialized view INCREMENTALLY alongside the
+    sink: after each epoch's merge commits, operators/ivm.sync_view
+    folds the base table's net changes (before-images on) into the view
+    — O(changed rows) per epoch, never a base re-scan. Like the feed,
+    the fold sits outside the commit path: its consumed-through marker
+    rides in the view's own commit summary, so a crash between merge
+    and fold leaves a wider exact span for the next epoch; a chain
+    broken by snapshot expiry self-heals with one full refresh.
 
     ``source`` overrides the default file-stream reader with any
     pre-built streaming DataFrame in CHANGELOG_SCHEMA shape — e.g.
@@ -111,6 +124,10 @@ def run_sync(
             from web3research_etl_spark.lake.cdc_feed import publish_changes
 
             publish_changes(table, feed_dir, payloads=feed_payloads)
+        if view is not None:
+            from web3research_etl_spark.operators.ivm import sync_view
+
+            sync_view(view, table, view_group, view_value)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)
