@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -80,12 +81,36 @@ def build_parser() -> argparse.ArgumentParser:
             "(replication-capable; see cdc_feed.apply_feed)",
         )
 
+    def _view_flags(sub: argparse.ArgumentParser) -> None:
+        sub.add_argument(
+            "--view",
+            default=None,
+            metavar="DIR",
+            help="maintain a grouped materialized view table here, folded "
+            "forward incrementally from each epoch's CDC deltas "
+            "(operators/ivm.sync_view); created on first use",
+        )
+        sub.add_argument(
+            "--view-group",
+            default=None,
+            metavar="COL",
+            help="group-by column of the view (required with --view)",
+        )
+        sub.add_argument(
+            "--view-value",
+            default=None,
+            metavar="COL",
+            help="numeric column summed (round-2 decimal) per group; "
+            "omitted = count-only view",
+        )
+
     init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
     _common(init)
     init.add_argument("--batch-files", type=int, default=None, help="maxFilesPerTrigger")
     init.add_argument("--checkpoint", default=None)
     _dedup_flag(init)
     _feed_flags(init)
+    _view_flags(init)
 
     sync = subs.add_parser("sync", help="unbounded streaming tail")
     _common(sync)
@@ -94,6 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
     sync.add_argument("--batch-files", type=int, default=None)
     _dedup_flag(sync)
     _feed_flags(sync)
+    _view_flags(sync)
 
     check = subs.add_parser("check", help="reconcile stored state vs changelog; optionally heal")
     _common(check)
@@ -329,6 +355,43 @@ def main(argv: list[str] | None = None) -> int:
         from web3research_etl_spark.streaming.pipeline import run_sync
 
         checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="w3r_ckpt_")
+        view = view_value = None
+        if getattr(args, "view", None):
+            from pyspark.sql import types as T
+
+            from web3research_etl_spark.lake.table import LakeTable
+
+            if not args.view_group:
+                print("--view requires --view-group", file=sys.stderr)
+                return 2
+            if os.path.exists(os.path.join(args.view, "metadata")):
+                view = LakeTable.load(spark, args.view)
+            else:
+                gtype = next(
+                    f.dataType
+                    for f in table.schema().fields
+                    if f.name == args.view_group
+                )
+                view = LakeTable.create(
+                    spark,
+                    args.view,
+                    T.StructType(
+                        [
+                            T.StructField(args.view_group, gtype, True),
+                            T.StructField("n_rows", T.LongType(), True),
+                            T.StructField("total_value", T.DecimalType(18, 2), True),
+                            T.StructField("epoch", T.LongType(), True),
+                        ]
+                    ),
+                    key=[args.view_group],
+                    version_order=["epoch"],
+                    n_buckets=4,
+                )
+            vcol = args.view_value
+            if vcol:
+                view_value = lambda col: F.round(col(vcol), 2).cast("decimal(18,2)")  # noqa: E731
+            else:
+                view_value = lambda col: F.lit(0).cast("decimal(18,2)")  # noqa: E731
         source_stream = None
         if getattr(args, "source_format", "changelog") == "wire":
             from web3research_etl_spark.sources.kafka_wire import stream_changelog_wire
@@ -351,6 +414,9 @@ def main(argv: list[str] | None = None) -> int:
             dedup_watermark=getattr(args, "dedup_watermark", None),
             feed_dir=getattr(args, "feed", None),
             feed_payloads=getattr(args, "feed_payloads", False),
+            view=view,
+            view_group=getattr(args, "view_group", None),
+            view_value=view_value,
         )
         if args.cmd == "init":
             q.awaitTermination()
