@@ -324,6 +324,23 @@ def q_cdc_ivm_event_type(spark, sf_dir):
     return view.read().select("event_type", "n_rows", "total_value")
 
 
+def q_cdc_range_scan(spark, sf_dir):
+    """Leading-key range scan served by manifest file stats: hash
+    bucketing can't prune buckets for a range, but every data file's
+    [min, max] of the leading key (recorded from its parquet footer at
+    write time — the ClickHouse sparse-primary-index analog) skips
+    disjoint files before Spark lists them; the residual range filter
+    pushes into the pruned scan. Oracle: the LWW state filtered to the
+    same inclusive range."""
+    t, _, _ = _two_epoch_state_table(spark, sf_dir)
+    lo, hi = "https://site-1", "https://site-12/zzzz"
+    return t.read_for_key_range(lo, hi).select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
 def q_cdc_tombstones(spark, sf_dir):
     """Keys whose LWW winner is a delete — the tombstone set."""
     ch = _events_changelog(spark, sf_dir)
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_between": q_cdc_changes_between,
         "cdc_feed": q_cdc_feed,
         "cdc_ivm_event_type": q_cdc_ivm_event_type,
+        "cdc_range_scan": q_cdc_range_scan,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -1464,6 +1482,13 @@ def oracle_sql() -> dict[str, str]:
                         AS DECIMAL(18,2)) AS total_value
             FROM ranked WHERE rn = 1 AND op <> 'D'
             GROUP BY event_type
+        """,
+        "cdc_range_scan": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, round(value, 2) AS last_value
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+              AND url >= 'https://site-1' AND url <= 'https://site-12/zzzz'
         """,
         "fanout_merge_state": f"""
             WITH changelog AS ({_CHANGELOG_SQL}),

@@ -131,3 +131,26 @@ def test_merge_and_compact_keep_stats(spark, tmp_table_dir):
     # every live path has a stats row
     for fg in snap["file_groups"]:
         assert set(fg["stats"]) == set(fg["paths"])
+
+
+def test_range_scan_skips_and_is_exact(spark, tmp_table_dir):
+    t = _create(spark, f"{tmp_table_dir}/t", n_buckets=2)
+    for prefix in ("a", "m", "z"):
+        _append(t, spark, [(f"{prefix}{i:03d}", 1, 0.5) for i in range(40)])
+    got = sorted(r["url"] for r in t.read_for_key_range("m000", "m999").collect())
+    assert got == [f"m{i:03d}" for i in range(40)]
+    # the pruned scan read fewer files than the table holds
+    snap = t.current_snapshot()
+    total = sum(len(fg["paths"]) for fg in snap["file_groups"])
+    kept = [
+        p
+        for fg in snap["file_groups"]
+        for p in fg["paths"]
+        if (mm := (fg.get("stats") or {}).get(p)) is None
+        or not (mm[1] < "m000" or mm[0] > "m999")
+    ]
+    assert len(kept) < total
+    # open-ended sides
+    assert t.read_for_key_range("z000", None).count() == 40
+    assert t.read_for_key_range(None, "a999").count() == 40
+    assert t.read_for_key_range(None, None).count() == t.read().count()

@@ -1070,6 +1070,55 @@ class LakeTable:
                 groups.append(g)
         return groups
 
+    def read_for_key_range(
+        self, lower, upper, include_deleted: bool = False
+    ) -> DataFrame:
+        """Range scan on the LEADING key column (inclusive bounds; pass
+        None for an open side). Hash bucketing can't prune buckets for a
+        range, but the manifest's per-file [min, max] stats skip every
+        file whose key range is disjoint from [lower, upper] — after an
+        append-heavy history (the CDC ingest pattern: each epoch's new
+        keys arrive in fresh files) a narrow range reads a handful of
+        files, not the table. The residual filter pushes down into the
+        pruned parquet scan. Conservative: files without stats always
+        scan."""
+        snap = self.current_snapshot()
+        key_cols = snap["key"]
+        if not key_cols:
+            raise ValueError("read_for_key_range requires a keyed table")
+
+        def _overlaps(mm) -> bool:
+            lo, hi = mm
+            try:
+                if lower is not None and hi < lower:
+                    return False
+                if upper is not None and lo > upper:
+                    return False
+            except TypeError:
+                return True
+            return True
+
+        groups = []
+        for fg in snap["file_groups"]:
+            stats = fg.get("stats") or {}
+            keep = [
+                p for p in fg["paths"]
+                if (mm := stats.get(p)) is None or _overlaps(mm)
+            ]
+            if keep:
+                g = dict(fg)
+                g["paths"] = keep
+                groups.append(g)
+        df = self._read_groups(snap, groups, include_deleted=include_deleted)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema(snap))
+        lead = F.col(key_cols[0])
+        if lower is not None:
+            df = df.filter(lead >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(lead <= F.lit(upper))
+        return df
+
     def rewrite_small_files(self, target_min_files_per_bucket: int = 1) -> dict:
         """Compaction (SURVEY S10 — the reference's OPTIMIZE sidecar,
         scripts/optimize_db.py:27; Iceberg's rewrite_data_files):
