@@ -1126,6 +1126,77 @@ def q_doc_pack_chunks(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), target_tokens=512)
 
 
+def q_doc_segment_dedup(spark, sf_dir):
+    """C4-style cross-corpus span dedup (operators/curate.py): every
+    10-word segment kept exactly once corpus-wide (smallest
+    (doc_id, seg_idx) occurrence wins), per-doc cleaned text
+    re-assembled in order. One explode + one hash-keyed min-agg + one
+    join back — no global windows."""
+    from web3research_etl_spark.operators.curate import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any overlapping 8-word
+    n-gram with the held-out eval slice (doc_id % 37 == 0) are
+    flagged. The eval side's distinct hashes broadcast — corpus text
+    bytes never shuffle."""
+    from web3research_etl_spark.operators.curate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=8)
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition gates: duplicate-word fraction +
+    top-bigram frequency fraction per doc, with flag thresholds."""
+    from web3research_etl_spark.operators.curate import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing parity check: deterministic synthetic PII
+    (email / phone / IPv4 derived from doc_id) is appended to each
+    doc, then scrubbed with the RE2∩Java-regex common-subset patterns
+    in operators/curate.py. The value-hash compare against DuckDB
+    proves the regex semantics match byte-for-byte — the property
+    that matters when the scrub runs on 100 TB and the audit runs
+    elsewhere."""
+    from web3research_etl_spark.operators.curate import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 != 2,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" call +1 555 0"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit(" 9012"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 != 0,
+            F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".77")),
+        ).otherwise(F.lit("")),
+    )
+    withs = docs.select("doc_id", synth.alias("synth"))
+    return withs.select(
+        "doc_id",
+        *pii_counts(F.col("synth")),
+        scrub_pii(F.col("synth")).alias("scrubbed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1199,6 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "corpus_curation": q_corpus_curation,
         "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_segment_dedup": q_doc_segment_dedup,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_pii_scrub": q_doc_pii_scrub,
     }
 
 
@@ -1222,6 +1297,14 @@ _SHINGLES_CTE = r"""
 """
 
 _H60 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+# PII regexes, imported so the Spark operator and the DuckDB oracle
+# share one source of truth (RE2 ∩ java.util.regex common subset).
+from web3research_etl_spark.operators.curate import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IPV4,
+    PHONE_RE as _PII_PHONE,
+)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -2101,5 +2184,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM offs GROUP BY shard, chunk_id
+        """,
+        "doc_segment_dedup": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            segs AS (
+              SELECT doc_id, CAST(t.i AS INTEGER) AS seg_idx,
+                     array_to_string(
+                       ws[CAST(t.i*10+1 AS BIGINT):CAST(t.i*10+10 AS BIGINT)],
+                       ' ') AS seg
+              FROM w, UNNEST(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)
+            ),
+            occ AS (
+              SELECT doc_id, seg_idx, seg,
+                     {_H60.format(x='seg')} AS seg_hash,
+                     doc_id*1000000 + seg_idx AS occ_key
+              FROM segs),
+            keep AS (SELECT seg_hash, min(occ_key) AS keep_key
+                     FROM occ GROUP BY seg_hash)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(count(*) - sum(CASE WHEN occ_key = keep_key
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped,
+                   coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                              FILTER (WHERE occ_key = keep_key), '')
+                     AS cleaned_text
+            FROM occ JOIN keep USING (seg_hash)
+            GROUP BY doc_id
+        """,
+        "doc_decontaminate": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                {_H60.format(x="array_to_string(ws[CAST(t.i AS BIGINT):CAST(t.i+7 AS BIGINT)], ' ')")}
+                  AS gram_hash
+              FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT gram_hash FROM grams
+                      WHERE doc_id % 37 = 0),
+            hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram_hash) AS n_hits
+              FROM grams g JOIN bench b USING (gram_hash)
+              WHERE g.doc_id % 37 != 0
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 37 != 0
+        """,
+        "doc_repetition_stats": r"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            base AS (SELECT doc_id, len(ws) AS n_words,
+                            len(list_distinct(ws)) AS n_distinct
+                     FROM w),
+            bg AS (
+              SELECT doc_id,
+                     ws[CAST(t.i AS BIGINT)] || ' ' ||
+                       ws[CAST(t.i+1 AS BIGINT)] AS bigram
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+            ),
+            top AS (SELECT doc_id, max(cnt) AS top_n FROM (
+                      SELECT doc_id, bigram, count(*) AS cnt
+                      FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+            j AS (
+              SELECT b.doc_id,
+                     CAST(b.n_words AS BIGINT) AS n_words,
+                     round((b.n_words - b.n_distinct)
+                           / greatest(b.n_words, 1), 6) AS dup_word_frac,
+                     CAST(coalesce(t.top_n, 0) AS BIGINT) AS top_bigram_n,
+                     round(coalesce(t.top_n, 0)
+                           / greatest(b.n_words - 1, 1), 6) AS top_bigram_frac
+              FROM base b LEFT JOIN top t USING (doc_id))
+            SELECT *, CAST(dup_word_frac > 0.5
+                           OR top_bigram_frac > 0.18 AS INT) AS flagged
+            FROM j
+        """,
+        "doc_pii_scrub": f"""
+            WITH s AS (
+              SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 3 != 2
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END ||
+                CASE WHEN doc_id % 2 = 0
+                     THEN ' call +1 555 0'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || ' 9012' ELSE '' END ||
+                CASE WHEN doc_id % 5 != 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.77' ELSE '' END
+                AS synth
+              FROM documents),
+            r AS (SELECT doc_id, synth,
+                         regexp_replace(synth, '{_PII_EMAIL}', '<EMAIL>', 'g')
+                           AS after_email
+                  FROM s),
+            r2 AS (SELECT *,
+                          regexp_replace(after_email, '{_PII_PHONE}',
+                                         '<PHONE>', 'g') AS after_phone
+                   FROM r)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(synth, '{_PII_EMAIL}')) AS BIGINT)
+                AS n_email,
+              CAST(len(regexp_extract_all(after_email, '{_PII_PHONE}'))
+                AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(after_phone, '{_PII_IPV4}'))
+                AS BIGINT) AS n_ip,
+              regexp_replace(after_phone, '{_PII_IPV4}', '<IP>', 'g')
+                AS scrubbed
+            FROM r2
         """,
     }
