@@ -214,6 +214,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="prune CDC-feed snapshot dirs older than the table's oldest "
         "retained snapshot (consumers' checkpoints must be past them)",
     )
+    maintain.add_argument(
+        "--build-blooms",
+        action="store_true",
+        help="write per-data-file key Bloom sidecars (point-lookup file "
+        "skipping when leading-key ranges overlap)",
+    )
+    maintain.add_argument(
+        "--bloom-bits",
+        type=int,
+        default=1 << 16,
+        help="bits per Bloom sidecar (size ~10x expected keys per file)",
+    )
 
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
     gen.add_argument("--out", required=True)
@@ -334,10 +346,12 @@ def main(argv: list[str] | None = None) -> int:
             from web3research_etl_spark.lake.cdc_feed import expire_feed
 
             report["expire_feed"] = expire_feed(table, args.expire_feed)
+        if args.build_blooms:
+            report["blooms"] = table.build_blooms(m_bits=args.bloom_bits)
         if not report:
             print("nothing to do: pass --compact / --vacuum-before / "
                   "--expire-keep / --remove-orphans / --rebucket / "
-                  "--expire-feed", file=sys.stderr)
+                  "--expire-feed / --build-blooms", file=sys.stderr)
             return 2
         print(json.dumps(report))
         return 0

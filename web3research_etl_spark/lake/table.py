@@ -35,6 +35,7 @@ ordered by the table's version columns; a 'D' winner deletes the key
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
@@ -113,6 +114,30 @@ def _footer_min_max(path: str, column: str):
         return None if lo is None else [lo, hi]
     except Exception:
         return None
+
+
+_BLOOM_SUFFIX = ".bloom"
+_BLOOM_MASK = 0x7FFFFFFFFFFFFFFF
+
+
+def _bloom_positions(h: int, m: int, k: int) -> list[int]:
+    """Double-hashed Bloom probe positions from one 64-bit key hash
+    (Kirsch–Mitzenmacher: pos_i = h1 + i·h2 mod m needs only two
+    derived hashes for k probes). Pure int arithmetic replicated
+    EXACTLY by the Spark-side builder expression in ``build_blooms`` —
+    Python's ``h & MASK`` on a negative int equals the JVM long's
+    two's-complement AND, so builder and prober agree bit-for-bit."""
+    hu = h & _BLOOM_MASK
+    h1 = hu % m
+    h2 = ((hu >> 17) % m) | 1  # odd => cycles the whole table for any m
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_may_contain(bits: bytes, m: int, k: int, h: int) -> bool:
+    for pos in _bloom_positions(h, m, k):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -816,7 +841,11 @@ class LakeTable:
         }
 
     def _read_groups(
-        self, snap: dict, groups: list[dict], include_deleted: bool = False
+        self,
+        snap: dict,
+        groups: list[dict],
+        include_deleted: bool = False,
+        with_file_path: bool = False,
     ) -> DataFrame | None:
         if not groups:
             return None
@@ -857,6 +886,10 @@ class LakeTable:
             tomb = (
                 F.coalesce(F.col(_DELETED_COL), F.lit(False)) if has_tomb else F.lit(False)
             ).alias(_DELETED_COL)
+            if with_file_path:
+                # provenance column for maintenance jobs (bloom builder):
+                # survives the schema-alignment projection below
+                cols.append(F.input_file_name().alias("_file"))
             part = df.select(*cols, tomb)
             if not include_deleted:
                 # pushed down to the parquet scan by Catalyst
@@ -994,27 +1027,39 @@ class LakeTable:
         # identically to the writer's
         one = self.spark.range(1)
         field_types = {f.name: f.dataType for f in self.schema(snap).fields}
-        row = one.select(
-            *[
-                F.pmod(
-                    F.xxhash64(
-                        F.concat_ws(
-                            "\x1f",
-                            *[
-                                F.lit(v).cast(field_types[c]).cast("string")
-                                for c, v in zip(key_cols, t)
-                            ],
-                        )
-                    ),
-                    F.lit(snap["n_buckets"]),
-                ).alias(f"b{i}")
-                for i, t in enumerate(tuples)
-            ]
-        ).collect()[0]
+        hash_exprs = [
+            F.xxhash64(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.lit(v).cast(field_types[c]).cast("string")
+                        for c, v in zip(key_cols, t)
+                    ],
+                )
+            ).alias(f"h{i}")
+            for i, t in enumerate(tuples)
+        ]
+        # one tiny job computes BOTH the bucket (pmod of the hash, same
+        # expression the writer used) and the raw 64-bit key hash the
+        # bloom sidecars were built from
+        row = (
+            one.select(*hash_exprs)
+            .select(
+                *[
+                    F.pmod(F.col(f"h{i}"), F.lit(snap["n_buckets"])).alias(f"b{i}")
+                    for i in range(len(tuples))
+                ],
+                *[F.col(f"h{i}") for i in range(len(tuples))],
+            )
+            .collect()[0]
+        )
         lead_by_bucket: dict[int, set] = {}
+        hashes_by_bucket: dict[int, set[int]] = {}
         for i, t in enumerate(tuples):
-            lead_by_bucket.setdefault(row[f"b{i}"], set()).add(t[0])
-        groups = self._prune_groups_for_lookup(snap, lead_by_bucket)
+            b = row[f"b{i}"]
+            lead_by_bucket.setdefault(b, set()).add(t[0])
+            hashes_by_bucket.setdefault(b, set()).add(row[f"h{i}"])
+        groups = self._prune_groups_for_lookup(snap, lead_by_bucket, hashes_by_bucket)
         df = self._read_groups(snap, groups, include_deleted=include_deleted)
         if df is None:
             empty_schema = self.schema(snap)
@@ -1034,7 +1079,10 @@ class LakeTable:
         return df.filter(filt)
 
     def _prune_groups_for_lookup(
-        self, snap: dict, lead_by_bucket: dict[int, set]
+        self,
+        snap: dict,
+        lead_by_bucket: dict[int, set],
+        hashes_by_bucket: dict[int, set[int]] | None = None,
     ) -> list[dict]:
         """Two-level scan pruning for a point lookup: bucket pruning
         (only buckets any looked-up key hashes to), then FILE skipping —
@@ -1045,25 +1093,40 @@ class LakeTable:
         merge output; stats turn "read the whole bucket" into "read the
         file(s) whose key range matches". Conservative by construction:
         entries or files without stats, and any type-incomparable
-        probe value, are always scanned."""
+        probe value, are always scanned.
+
+        A third level stacks on top when ``hashes_by_bucket`` is given
+        and ``build_blooms`` sidecars exist: a file whose Bloom filter
+        proves none of the probed key tuples can be present is skipped
+        even when its leading-key [min, max] overlaps (the
+        overlapping-generations case range stats can't prune). Missing
+        or unreadable sidecars scan — never skip."""
         groups = []
         for fg in snap["file_groups"]:
             vals = lead_by_bucket.get(fg["bucket"])
             if vals is None:
                 continue
             stats = fg.get("stats") or {}
+            hashes = (hashes_by_bucket or {}).get(fg["bucket"])
             keep = []
             for p in fg["paths"]:
                 mm = stats.get(p)
-                if mm is None:
-                    keep.append(p)
+                in_range = True
+                if mm is not None:
+                    lo, hi = mm
+                    try:
+                        in_range = any(lo <= v <= hi for v in vals)
+                    except TypeError:
+                        in_range = True
+                if not in_range:
                     continue
-                lo, hi = mm
-                try:
-                    if any(lo <= v <= hi for v in vals):
-                        keep.append(p)
-                except TypeError:
-                    keep.append(p)
+                if hashes and (bl := self._load_bloom(p)) is not None:
+                    bits, m, k = bl
+                    if not any(
+                        _bloom_may_contain(bits, m, k, h) for h in hashes
+                    ):
+                        continue
+                keep.append(p)
             if keep:
                 g = dict(fg)
                 g["paths"] = keep
@@ -1118,6 +1181,109 @@ class LakeTable:
         if upper is not None:
             df = df.filter(lead <= F.lit(upper))
         return df
+
+    def build_blooms(
+        self, m_bits: int = 1 << 16, k: int = 7, only_missing: bool = True
+    ) -> dict:
+        """Per-data-file Bloom filters on the FULL key tuple — the
+        Iceberg puffin-sidecar analog. Written as immutable
+        ``<data-file>.bloom`` JSON sidecars next to each parquet file,
+        so snapshots that share a data file share its bloom, manifests
+        stay slim, and expiry/orphan GC reclaims a bloom exactly when
+        its data file goes.
+
+        Why beyond min/max stats: leading-key [min, max] skipping
+        (``_prune_groups_for_lookup``) degrades once a bucket holds
+        many generations whose key ranges overlap (the steady-state of
+        an append-heavy CDC ingest before compaction). A bloom answers
+        "could THIS key tuple be in THIS file" regardless of range
+        overlap — at ~10 bits/key it turns an O(generations) point
+        lookup back into O(1 + FPR·generations) file reads. False
+        positives only cost an extra scan; false negatives are
+        impossible by construction (the prober replays the builder's
+        exact double-hash arithmetic on the same xxhash64 the writer
+        buckets with).
+
+        Scale shape: one distributed scan of ONLY the key columns of
+        files lacking sidecars (columnar projection — payload bytes
+        never read), k probe positions per row, one map-side-combinable
+        collect_set per file; only the finished bitmaps (m_bits/8 bytes
+        per file) stream back via toLocalIterator for the driver to
+        write — the same driver-commits-stats shape as the manifest
+        writer. Size ``m_bits`` ≈ 10× expected keys per file for ~1%
+        FPR at k=7.
+        """
+        snap = self.current_snapshot()
+        key_cols = snap["key"]
+        if not key_cols:
+            raise ValueError("build_blooms requires a keyed table")
+        if m_bits % 8:
+            raise ValueError("m_bits must be a multiple of 8")
+        todo_groups = []
+        n_todo = 0
+        for fg in snap["file_groups"]:
+            paths = [
+                p
+                for p in fg["paths"]
+                if not (
+                    only_missing
+                    and os.path.exists(os.path.join(self.path, p + _BLOOM_SUFFIX))
+                )
+            ]
+            if paths:
+                todo_groups.append(dict(fg, paths=paths))
+                n_todo += len(paths)
+        if not todo_groups:
+            return {"skipped": True, "reason": "all files have blooms"}
+        # tombstones included: a bloom must cover every key physically
+        # present, else a live-row probe could false-negative after the
+        # row is resurrected by a later merge reading the same file
+        df = self._read_groups(
+            snap, todo_groups, include_deleted=True, with_file_path=True
+        )
+        h = F.xxhash64(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        )
+        hu = h.bitwiseAND(F.lit(_BLOOM_MASK))
+        m, kk = F.lit(m_bits), int(k)
+        h1 = F.pmod(hu, m)
+        h2 = F.pmod(F.shiftright(hu, 17), m).bitwiseOR(F.lit(1))
+        pos = F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, m) for i in range(kk)])
+        ).alias("pos")
+        agg = (
+            df.select(F.col("_file"), pos)
+            .groupBy("_file")
+            .agg(F.collect_set("pos").alias("ps"))
+        )
+        written = 0
+        for row in agg.toLocalIterator():
+            fpath = row["_file"]
+            if fpath.startswith("file:"):
+                fpath = fpath[5:]
+                while fpath.startswith("//"):
+                    fpath = fpath[1:]
+            rel = os.path.relpath(fpath, self.path)
+            bits = bytearray(m_bits // 8)
+            for p in row["ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            _atomic_write_json(
+                os.path.join(self.path, rel + _BLOOM_SUFFIX),
+                {"m": m_bits, "k": kk, "b64": base64.b64encode(bytes(bits)).decode()},
+            )
+            written += 1
+        return {"skipped": False, "blooms_written": written, "m_bits": m_bits, "k": kk}
+
+    def _load_bloom(self, rel_path: str):
+        bp = os.path.join(self.path, rel_path + _BLOOM_SUFFIX)
+        if not os.path.exists(bp):
+            return None
+        try:
+            with open(bp) as f:
+                b = json.load(f)
+            return (base64.b64decode(b["b64"]), int(b["m"]), int(b["k"]))
+        except Exception:
+            return None  # unreadable sidecar must mean "scan", never "skip"
 
     def rewrite_small_files(self, target_min_files_per_bucket: int = 1) -> dict:
         """Compaction (SURVEY S10 — the reference's OPTIMIZE sidecar,
@@ -1246,6 +1412,9 @@ class LakeTable:
             if os.path.exists(fp):
                 os.remove(fp)
                 removed += 1
+            bp = fp + _BLOOM_SUFFIX
+            if os.path.exists(bp):  # sidecar dies with its data file
+                os.remove(bp)
         return {
             "skipped": False,
             "expired_snapshots": expired,
@@ -1276,6 +1445,10 @@ class LakeTable:
                 fp = os.path.join(root, name)
                 rel = os.path.relpath(fp, self.path)
                 if rel in referenced:
+                    continue
+                # a bloom sidecar is live exactly while its data file is
+                # referenced; orphaned blooms GC like orphaned data
+                if rel.endswith(_BLOOM_SUFFIX) and rel[: -len(_BLOOM_SUFFIX)] in referenced:
                     continue
                 if now - os.path.getmtime(fp) < grace_seconds:
                     continue
