@@ -420,6 +420,51 @@ def q_cdc_point_lookup(spark, sf_dir):
     )
 
 
+_BLOOM_PROBE_URLS = [
+    "https://site-1/p7",
+    "https://site-3/p101",
+    "https://site-7/p42",
+    "https://site-12/p160",
+    "https://site-19/p5",
+    "https://site-999/p0",  # absent by construction (sites run 0..19)
+]
+
+
+def q_cdc_bloom_lookup(spark, sf_dir):
+    """Bloom-sidecar point lookup (SURVEY S9 at CDC steady state): the
+    LWW state lands as THREE interleaved append generations (every
+    generation spans the whole url range, so leading-key [min,max]
+    stats can never skip between them — the append-heavy shape a CDC
+    bucket has before compaction), ``build_blooms`` writes per-file key
+    Bloom sidecars, and ``read_for_keys`` serves a fixed probe set
+    through bucket + range + bloom pruning. Absent keys (tombstoned or
+    never written) must return nothing — a bloom false negative would
+    silently drop a live row, so the oracle is the pure-SQL LWW state
+    filtered to the same IN list."""
+    from web3research_etl_spark.lake.table import LakeTable
+
+    ch = _events_changelog(spark, sf_dir)
+    w = W.partitionBy("url").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    state = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("url", "ts", "event_id", "event_type", "value")
+    )
+    d = _query_scratch_dir("drv_bloom")
+    t = LakeTable.create(
+        spark, f"{d}/t", _EVENTS_STATE_SCHEMA(),
+        key=["url"], version_order=["ts", "event_id"], n_buckets=4,
+    )
+    for g in range(3):
+        t.append(state.filter(F.col("event_id") % 3 == g))
+    t.build_blooms()
+    return t.read_for_keys(_BLOOM_PROBE_URLS).select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
 def q_events_json_extract(spark, sf_dir):
     """JSON payload parse (SURVEY F3 / registry payload path): extract
     props.k, aggregate per event_type."""
@@ -1223,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_resume_offsets": q_cdc_resume_offsets,
         "cdc_presence_probe": q_cdc_presence_probe,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_bloom_lookup": q_cdc_bloom_lookup,
         "events_json_extract": q_events_json_extract,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
@@ -1715,6 +1761,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": """
             SELECT event_id, user_id, event_type, md5(event_type) AS type_hex
             FROM events WHERE event_id % 997 = 0
+        """,
+        "cdc_bloom_lookup": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+              AND url IN ({", ".join(f"'{u}'" for u in _BLOOM_PROBE_URLS)})
         """,
         "events_json_extract": """
             SELECT event_type,
