@@ -293,3 +293,40 @@ def test_windowed_heal_does_not_resurrect_deleted_keys(spark, tmp_table_dir, ch_
     # tombstone-blind stored side WOULD have healed; tombstone-aware is a no-op
     heal(t, window, epoch_id=9302, report=rep)
     assert t.read().filter(F.col("url") == victim["url"]).count() == 0
+
+
+def test_sync_in_stream_maintenance(spark, tmp_table_dir, ch_dir):
+    """run_sync(maintain_every=2, maintain_blooms=True): the tail
+    compacts + expires + blooms itself every 2 applied epochs. The
+    converged state must be byte-identical to the unmaintained run
+    (maintenance is physical-layout-only), the steady-state generation
+    pile must actually be bounded (compaction ran), snapshots expired
+    to the retain window, and every live data file must carry a bloom
+    sidecar — the lookup path is prunable immediately after the drain."""
+    import os
+
+    from web3research_etl_spark.lake.table import _BLOOM_SUFFIX
+
+    t = _new_table(spark, tmp_table_dir, "maint")
+    q = run_sync(
+        spark, ch_dir, t, f"{tmp_table_dir}/ckpt_maint",
+        available_now=True, max_files_per_trigger=1,  # 6 files -> 6 epochs
+        maintain_every=2, maintain_retain_last=2, maintain_blooms=True,
+    )
+    q.awaitTermination()
+
+    plain = _new_table(spark, tmp_table_dir, "maint_ref")
+    apply_changelog_batch(plain, spark.read.parquet(ch_dir), epoch_id=0)
+    assert t.state_hash() == plain.state_hash()
+
+    snap = t.current_snapshot()
+    # compaction ran on the final maintenance pass: one file per bucket
+    assert all(len(fg["paths"]) == 1 for fg in snap["file_groups"])
+    # expiry bounded history to the retain window
+    assert len(t.snapshot_ids()) <= 2
+    # every live file has a bloom sidecar, and lookups still serve
+    for fg in snap["file_groups"]:
+        for p in fg["paths"]:
+            assert os.path.exists(os.path.join(t.path, p + _BLOOM_SUFFIX))
+    some = [r["url"] for r in t.read().limit(3).collect()]
+    assert t.read_for_keys(some).count() == len(some)

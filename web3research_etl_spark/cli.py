@@ -104,6 +104,32 @@ def build_parser() -> argparse.ArgumentParser:
             "omitted = count-only view",
         )
 
+    def _maintain_flags(p):
+        p.add_argument(
+            "--maintain-every",
+            type=int,
+            default=None,
+            metavar="N",
+            help="every N applied epochs: compact small files, expire "
+            "snapshots, and (with --maintain-blooms) build Bloom sidecars "
+            "in-stream",
+        )
+        p.add_argument(
+            "--maintain-retain",
+            type=int,
+            default=8,
+            metavar="K",
+            help="snapshots retained by in-stream expiry (size to consumer "
+            "lag: expiry discards the history incremental readers diff "
+            "against)",
+        )
+        p.add_argument(
+            "--maintain-blooms",
+            action="store_true",
+            help="also build per-file key Bloom sidecars at each in-stream "
+            "maintenance pass",
+        )
+
     init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
     _common(init)
     init.add_argument("--batch-files", type=int, default=None, help="maxFilesPerTrigger")
@@ -111,6 +137,7 @@ def build_parser() -> argparse.ArgumentParser:
     _dedup_flag(init)
     _feed_flags(init)
     _view_flags(init)
+    _maintain_flags(init)
 
     sync = subs.add_parser("sync", help="unbounded streaming tail")
     _common(sync)
@@ -120,6 +147,7 @@ def build_parser() -> argparse.ArgumentParser:
     _dedup_flag(sync)
     _feed_flags(sync)
     _view_flags(sync)
+    _maintain_flags(sync)
 
     check = subs.add_parser("check", help="reconcile stored state vs changelog; optionally heal")
     _common(check)
@@ -431,6 +459,9 @@ def main(argv: list[str] | None = None) -> int:
             view=view,
             view_group=getattr(args, "view_group", None),
             view_value=view_value,
+            maintain_every=getattr(args, "maintain_every", None),
+            maintain_retain_last=getattr(args, "maintain_retain", 8),
+            maintain_blooms=getattr(args, "maintain_blooms", False),
         )
         if args.cmd == "init":
             q.awaitTermination()

@@ -58,6 +58,9 @@ def run_sync(
     view: LakeTable | None = None,
     view_group: str | None = None,
     view_value=None,
+    maintain_every: int | None = None,
+    maintain_retain_last: int = 8,
+    maintain_blooms: bool = False,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
@@ -93,6 +96,23 @@ def run_sync(
     and fold leaves a wider exact span for the next epoch; a chain
     broken by snapshot expiry self-heals with one full refresh.
 
+    ``maintain_every`` closes the steady-state generation-pile loop
+    in-stream: every N APPLIED (non-skipped) epochs, after that epoch's
+    merge/feed/view complete, run compaction (``rewrite_small_files``),
+    snapshot expiry (``expire_snapshots(retain_last=maintain_retain_last)``)
+    and — with ``maintain_blooms`` — Bloom sidecars for any data file
+    lacking one. Without it, an append-heavy tail accumulates one file
+    generation per epoch per touched bucket and point-lookup pruning
+    degrades linearly. Ordering matters and is fixed: the feed publishes
+    BEFORE expiry (the wedge-proof publisher fast-forwards past expired
+    gaps, but publishing first means it never has to), and blooms build
+    AFTER compaction so fresh compacted files are immediately prunable.
+    Size ``maintain_retain_last`` to consumer lag: expiry discards the
+    history incremental readers (feed/view/read_changes) diff against.
+    This in-line path is the single-process convenience; on a real
+    cluster the same calls run out-of-band via ``maintain`` CLI under
+    the lake's optimistic-concurrency commit (test_occ).
+
     ``source`` overrides the default file-stream reader with any
     pre-built streaming DataFrame in CHANGELOG_SCHEMA shape — e.g.
     ``sources.kafka_wire.stream_changelog_wire`` (or a real
@@ -111,8 +131,11 @@ def run_sync(
 
         stream = dedup_within_watermark(stream, watermark=dedup_watermark)
 
+    applied_since_maintain = 0
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_changelog_batch(
+        nonlocal applied_since_maintain
+        res = apply_changelog_batch(
             table,
             batch_df,
             epoch_id=epoch_id,
@@ -128,6 +151,14 @@ def run_sync(
             from web3research_etl_spark.operators.ivm import sync_view
 
             sync_view(view, table, view_group, view_value)
+        if maintain_every and not res.get("skipped"):
+            applied_since_maintain += 1
+            if applied_since_maintain >= maintain_every:
+                applied_since_maintain = 0
+                table.rewrite_small_files()
+                table.expire_snapshots(retain_last=maintain_retain_last)
+                if maintain_blooms:
+                    table.build_blooms()
 
     writer = (
         stream.writeStream.foreachBatch(_apply)
