@@ -176,6 +176,44 @@ def q_cdc_merge_state(spark, sf_dir):
     )
 
 
+def q_cdc_mor_state(spark, sf_dir):
+    """Merge-on-read delta path (Iceberg v2 analog) under the oracle
+    gate: the same events changelog applied as THREE ``write_mode="mor"``
+    epochs — each an O(batch) delta append with NO stored-state read —
+    split per key across epochs so the final state genuinely depends on
+    cross-generation (version, seq) resolution; a mid-stream compaction
+    (rewrite_small_files) folds the first generations into a new base;
+    the returned state reads through the base⊕delta LWW resolve. Must
+    equal the exact pure-SQL LWW oracle the CoW merge is held to —
+    write-path-independence of the converged state is the MoR
+    correctness contract."""
+    from web3research_etl_spark.lake.table import LakeTable
+
+    ch = _events_changelog(spark, sf_dir).select(
+        "op", "url", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    d = _query_scratch_dir("drv_mor")
+    t = LakeTable.create(
+        spark, f"{d}/t", _EVENTS_STATE_SCHEMA(),
+        key=["url"], version_order=["ts", "event_id"], n_buckets=8,
+    )
+    for i in range(3):
+        t.merge_changelog(
+            ch.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            epoch_id=i,
+            write_mode="mor",
+        )
+        if i == 1:
+            t.rewrite_small_files()
+    return t.read().select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
 _FANOUT_ROUTES = ["click", "view", "purchase"]
 
 
@@ -1257,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_converged": q_cdc_lww_converged,
         "cdc_lww_agg": q_cdc_lww_agg,
         "cdc_merge_state": q_cdc_merge_state,
+        "cdc_mor_state": q_cdc_mor_state,
         "fanout_merge_state": q_fanout_merge_state,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changes_between": q_cdc_changes_between,
@@ -1712,6 +1751,13 @@ def oracle_sql() -> dict[str, str]:
                OR (a.url IS NOT NULL AND (b.op = 'D' OR a.event_id <> b.event_id))
         """,
         "cdc_merge_state": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, event_type AS last_event_type,
+                   round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        # MoR converged state must be write-path-independent: same oracle
+        "cdc_mor_state": f"""
             {lww}
             SELECT url, event_id AS last_event_id, event_type AS last_event_type,
                    round(value, 2) AS last_value

@@ -58,10 +58,13 @@ PROBE_MAX = float(os.environ.get("BENCH_PROBE_MAX", "1.02"))
 # single-shot latencies in a contended window recorded 3-6× phantom
 # regressions on unchanged code)
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
+# CoW-vs-MoR write-amplification comparison (one extra pair of runs)
+MOR_COMPARE = os.environ.get("BENCH_MOR", "1") == "1"
 
 BENCH_QUERIES = [
     "cdc_lww_converged",
     "cdc_lww_agg",
+    "cdc_mor_state",
     "cdc_reconcile_status",
     "events_sessionize",
     "events_asof_join",
@@ -95,7 +98,13 @@ def _fresh_spark(cpus: int, app: str):
     return get_spark(app_name=app, master=f"local[{cpus}]", shuffle_partitions=cpus)
 
 
-def bench_cdc_subprocess(cpus: int, changelog_dir: str, n_events: int) -> dict:
+def bench_cdc_subprocess(
+    cpus: int,
+    changelog_dir: str,
+    n_events: int,
+    write_mode: str | None = None,
+    max_files_per_trigger: int = 32,
+) -> dict:
     """Run one scale point in a FRESH process: stopping/recreating
     SparkContexts in-process leaks Python-accumulator state between JVMs
     (observed: stale-server EOFs slowing the second run). A subprocess
@@ -105,7 +114,9 @@ def bench_cdc_subprocess(cpus: int, changelog_dir: str, n_events: int) -> dict:
 
     code = (
         "import json, bench;"
-        f"print('CDCRESULT ' + json.dumps(bench.bench_cdc({cpus}, {changelog_dir!r}, {n_events})))"
+        f"print('CDCRESULT ' + json.dumps(bench.bench_cdc("
+        f"{cpus}, {changelog_dir!r}, {n_events}, write_mode={write_mode!r}, "
+        f"max_files_per_trigger={max_files_per_trigger})))"
     )
     env = {**os.environ}
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # cached batches are GBs
@@ -148,10 +159,22 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     return {name: min(v) for name, v in reps.items()}, reps
 
 
-def bench_cdc(cpus: int, changelog_dir: str, n_events: int) -> dict:
+def bench_cdc(
+    cpus: int,
+    changelog_dir: str,
+    n_events: int,
+    write_mode: str | None = None,
+    max_files_per_trigger: int = 32,
+) -> dict:
     """Apply the full changelog through the streaming pipeline into a
     fresh lake table; wall-clock excludes generation, includes all
-    micro-batches + commits."""
+    micro-batches + commits.
+
+    ``write_mode="mor"`` measures the merge-on-read delta path — same
+    input, same convergence contract (row count asserted equal), but
+    each epoch appends O(batch) delta groups instead of rewriting every
+    touched bucket. ``data_bytes_written`` / ``data_files_written``
+    quantify the write-amplification difference directly."""
     from web3research_etl_spark.lake.table import LakeTable
     from web3research_etl_spark.schemas import PAGES_KEY, PAGES_SCHEMA, PAGES_VERSION_ORDER
     from web3research_etl_spark.streaming.pipeline import run_sync
@@ -198,7 +221,8 @@ def bench_cdc(cpus: int, changelog_dir: str, n_events: int) -> dict:
         table,
         f"{work}/ckpt",
         available_now=True,
-        max_files_per_trigger=32,
+        max_files_per_trigger=max_files_per_trigger,
+        write_mode=write_mode,
     )
     q.awaitTermination()
     dt = time.time() - t0
@@ -209,6 +233,14 @@ def bench_cdc(cpus: int, changelog_dir: str, n_events: int) -> dict:
     ]
     rows = table.read().count()
     n_epochs = len(table.committed_epochs())
+    # total data bytes/files EVER written (nothing is vacuumed in this
+    # run): the direct write-amplification measure CoW vs MoR
+    data_bytes = data_files = 0
+    for root, _dirs, files in os.walk(f"{work}/pages"):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                data_bytes += os.path.getsize(os.path.join(root, fn))
+                data_files += 1
     shutil.rmtree(work, ignore_errors=True)
     # Steady-state throughput: drop the FIRST epoch (JVM JIT + Python
     # worker spawn + codegen warm-up — one-time costs that are 0.01% of
@@ -220,12 +252,15 @@ def bench_cdc(cpus: int, changelog_dir: str, n_events: int) -> dict:
     steady_eps = ev_per_epoch * len(steady) / (sum(steady) / 1000.0)
     return {
         "cpus": cpus,
+        "write_mode": write_mode or "cow",
         "wall_sec": round(dt, 3),
         "events_per_sec": round(n_events / dt, 1),
         "steady_events_per_sec": round(steady_eps, 1),
         "converged_rows": rows,
         "epochs": n_epochs,
         "batch_ms": batch_ms,
+        "data_bytes_written": data_bytes,
+        "data_files_written": data_files,
     }
 
 
@@ -276,6 +311,34 @@ def main() -> None:
     else:
         r_big = bench_cdc_subprocess(CPUS, gen_dir, CDC_EVENTS)
         cdc[f"local[{CPUS}]"] = r_big
+
+    # --- write-mode comparison: same input, same converged state, CoW
+    # bucket-rewrite vs merge-on-read delta append. The MoR claim is a
+    # WRITE-amplification claim, so the evidence is bytes/files written
+    # (and the throughput that follows), measured — not asserted.
+    if MOR_COMPARE and time.time() - t_start < TIME_BUDGET_SEC * 0.9:
+        big = max(SCALE_BIG, 2)
+        # 12 small epochs (96 files ÷ 8) instead of the scaling run's 3:
+        # write amplification is a per-epoch effect — CoW rewrites the
+        # GROWING stored table every epoch, MoR writes only the batch —
+        # so the steady-ingest pattern (many epochs, each a fraction of
+        # accumulated state) is where the modes actually diverge.
+        r_cow = bench_cdc_subprocess(
+            big, gen_dir, CDC_EVENTS, write_mode="cow", max_files_per_trigger=8)
+        r_mor = bench_cdc_subprocess(
+            big, gen_dir, CDC_EVENTS, write_mode="mor", max_files_per_trigger=8)
+        assert r_cow["converged_rows"] == r_mor["converged_rows"], (
+            "MoR diverged from CoW", r_cow["converged_rows"], r_mor["converged_rows"])
+        cdc["write_mode_compare"] = {
+            "cow": r_cow,
+            "mor": r_mor,
+            "bytes_written_ratio_cow_over_mor": round(
+                r_cow["data_bytes_written"] / max(r_mor["data_bytes_written"], 1), 3
+            ),
+            "throughput_ratio_mor_over_cow": round(
+                r_mor["events_per_sec"] / max(r_cow["events_per_sec"], 0.1), 3
+            ),
+        }
 
     shutil.rmtree(os.path.dirname(gen_dir), ignore_errors=True)
 

@@ -48,6 +48,15 @@ def _common(sub: argparse.ArgumentParser) -> None:
         "batch's bucket histogram per epoch",
     )
     sub.add_argument("--no-registry", action="store_true")
+    sub.add_argument(
+        "--write-mode",
+        default=None,
+        choices=["cow", "mor"],
+        help="merge strategy: cow (default) rewrites touched buckets per "
+        "epoch; mor appends the epoch's winners as merge-on-read delta "
+        "file groups (O(batch) write, resolved at read, folded back by "
+        "--maintain-every compaction)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -462,6 +471,7 @@ def main(argv: list[str] | None = None) -> int:
             maintain_every=getattr(args, "maintain_every", None),
             maintain_retain_last=getattr(args, "maintain_retain", 8),
             maintain_blooms=getattr(args, "maintain_blooms", False),
+            write_mode=getattr(args, "write_mode", None),
         )
         if args.cmd == "init":
             q.awaitTermination()

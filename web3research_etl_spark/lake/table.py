@@ -21,6 +21,20 @@ design is 1:1 with Iceberg's model so a real catalog slots in):
   (``pmod(xxhash64(key), n_buckets)``, Iceberg ``bucket(N, url)``); a
   merge rewrites ONLY the buckets touched by the batch — at 100 TB a
   batch touching 3% of buckets rewrites 3% of data, not 100%.
+- **merge-on-read deltas** (``write_mode="mor"``, Iceberg v2's
+  row-level deltas): an epoch's LWW-resolved winners are APPENDED as
+  per-bucket delta file groups (``delta: true``, ``seq: snapshot_id``)
+  — O(batch) written per epoch, zero read of stored state. Readers
+  resolve base ⊕ deltas per key by ``(version_order…, seq)`` — the
+  same winner the copy-on-write path would persist, because exact
+  version ties are content-identical re-deliveries by the CDC
+  contract (operators/lww.py) and ``seq`` only arbitrates those.
+  Compaction (``rewrite_small_files``) folds deltas back into a base
+  generation through the resolved read. At 10^10 events with
+  scattered updates, MoR turns per-epoch write amplification
+  (rewrite every touched bucket) into amortized amplification
+  (rewrite every N epochs), at the price of a resolve shuffle on
+  reads of not-yet-compacted buckets.
 - **field-id schema evolution** (Iceberg-style): columns are identified
   by immutable field ids; add/rename/widen are metadata-only commits and
   old data files are aligned at read time — no rewrite.
@@ -456,7 +470,13 @@ class LakeTable:
             raise ValueError("read_changes requires key + version_order")
 
         def _paths_by_bucket(snap: dict) -> dict[int, tuple]:
-            return {fg["bucket"]: tuple(sorted(fg["paths"])) for fg in snap["file_groups"]}
+            # a bucket may hold several file groups (appends, MoR delta
+            # generations) — the change detector must see their UNION,
+            # not whichever group the manifest lists last
+            out: dict[int, list[str]] = {}
+            for fg in snap["file_groups"]:
+                out.setdefault(fg["bucket"], []).extend(fg["paths"])
+            return {b: tuple(sorted(ps)) for b, ps in out.items()}
 
         pa, pb = _paths_by_bucket(snap_a), _paths_by_bucket(snap_b)
         changed = {b for b in set(pa) | set(pb) if pa.get(b) != pb.get(b)}
@@ -681,6 +701,7 @@ class LakeTable:
         force_replace: bool = False,
         pre_write_transform=None,
         winner_join: str | None = None,
+        write_mode: str | None = None,
     ) -> dict:
         """MERGE INTO: apply a changelog batch (op ∈ I/U/D).
 
@@ -715,8 +736,33 @@ class LakeTable:
 
         ``winner_join``: phase-2 retrieval strategy, see
         operators/lww.lww_dedup_agg.
+
+        ``write_mode``: ``"cow"`` (default; env ``WEB3R_WRITE_MODE``)
+        rewrites touched buckets as above. ``"mor"`` (merge-on-read)
+        never reads stored state: the batch's OWN LWW winners (incl.
+        tombstones) are appended as per-bucket DELTA file groups
+        tagged ``seq`` = the committing snapshot id; readers resolve
+        base ⊕ deltas by ``(version_order…, seq)`` and compaction
+        folds them back (see module docstring). Per-epoch cost drops
+        from O(touched buckets) to O(batch) — the right trade when
+        updates are scattered across many buckets (the 10^10-event
+        web-crawl pattern: every epoch touches most buckets but a
+        tiny fraction of each). MoR commits replace no file groups,
+        so they rebase across ANY concurrent data commit (OCC never
+        conflicts two delta writers, or a delta writer with a
+        compactor). ``force_replace`` requires reading stored keys
+        and is CoW-only.
         """
         _check_epoch_id(epoch_id)
+        if write_mode is None:
+            write_mode = os.environ.get("WEB3R_WRITE_MODE", "cow")
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode: {write_mode!r}")
+        if write_mode == "mor" and force_replace:
+            raise ValueError(
+                "force_replace needs authoritative stored-key deletion — "
+                "a read-free delta cannot express it; use write_mode='cow'"
+            )
         snap = self.current_snapshot()
         if epoch_id is not None and epoch_id in self.committed_epochs(snap):
             return {
@@ -743,17 +789,23 @@ class LakeTable:
         staged = batch.select(F.col("op").alias(_OP_COL), *selected).withColumn(
             _BUCKET_COL, self._bucket_expr(snap)
         )
-        touched = sorted(
-            r[_BUCKET_COL] for r in staged.select(_BUCKET_COL).distinct().collect()
-        )
-        if not touched:
-            return {"skipped": True, "snapshot_id": snap["snapshot_id"], "epoch_id": epoch_id}
+        if write_mode == "mor":
+            # read-free: no touched-bucket probe job, no stored-state
+            # scan — the batch's own winners land as delta groups and
+            # emptiness falls out of the write (zero files written)
+            touched, keep_groups, existing = [], [], None
+        else:
+            touched = sorted(
+                r[_BUCKET_COL] for r in staged.select(_BUCKET_COL).distinct().collect()
+            )
+            if not touched:
+                return {"skipped": True, "snapshot_id": snap["snapshot_id"], "epoch_id": epoch_id}
 
-        touched_set = set(touched)
-        keep_groups = [fg for fg in snap["file_groups"] if fg["bucket"] not in touched_set]
-        old_groups = [fg for fg in snap["file_groups"] if fg["bucket"] in touched_set]
+            touched_set = set(touched)
+            keep_groups = [fg for fg in snap["file_groups"] if fg["bucket"] not in touched_set]
+            old_groups = [fg for fg in snap["file_groups"] if fg["bucket"] in touched_set]
 
-        existing = self._read_groups(snap, old_groups, include_deleted=True)
+            existing = self._read_groups(snap, old_groups, include_deleted=True)
         if existing is not None and force_replace:
             # batch is authoritative for its keys: drop stored rows for
             # them (broadcast anti-join — batch keys are the small side)
@@ -820,11 +872,26 @@ class LakeTable:
             for c in caches:
                 c.unpersist(blocking=False)
         new_entries = self._new_entries(by_bucket, snap)
-        new_groups = keep_groups + new_entries
-        res = self._commit_data(
-            snap, new_id, "merge", new_groups, epoch_id, summary_extra,
-            touched=touched_set, new_entries=new_entries,
-        )
+        if write_mode == "mor":
+            if not new_entries:
+                return {"skipped": True, "snapshot_id": snap["snapshot_id"], "epoch_id": epoch_id}
+            for e in new_entries:
+                e["delta"] = True
+                e["seq"] = new_id
+            touched = sorted(by_bucket)
+            new_groups = list(snap["file_groups"]) + new_entries
+            # touched=∅: a delta commit replaces nothing, so OCC rebase
+            # always succeeds (seq is refreshed to the rebased id)
+            res = self._commit_data(
+                snap, new_id, "merge-delta", new_groups, epoch_id, summary_extra,
+                touched=set(), new_entries=new_entries,
+            )
+        else:
+            new_groups = keep_groups + new_entries
+            res = self._commit_data(
+                snap, new_id, "merge", new_groups, epoch_id, summary_extra,
+                touched=touched_set, new_entries=new_entries,
+            )
         if res.get("already_committed"):
             # a concurrent retry of the SAME epoch won the commit race —
             # the idempotent-skip outcome, just discovered at commit time
@@ -841,6 +908,70 @@ class LakeTable:
         }
 
     def _read_groups(
+        self,
+        snap: dict,
+        groups: list[dict],
+        include_deleted: bool = False,
+        with_file_path: bool = False,
+        resolve_deltas: bool = True,
+    ) -> DataFrame | None:
+        """Read file groups, resolving merge-on-read deltas.
+
+        Buckets that carry delta groups are read WITH tombstones, all
+        generations unioned under a per-group ``seq`` (base groups —
+        no ``seq`` — rank oldest at -1), and LWW-resolved per key by
+        ``(version_order…, seq)``; tombstone filtering happens AFTER
+        resolution so a delta tombstone suppresses the base row.
+        Buckets without deltas take the plain path unchanged — zero
+        extra shuffle for a fully-compacted table.
+
+        ``resolve_deltas=False`` returns raw physical rows (every
+        generation, losers included) — what ``build_blooms`` needs: a
+        file's bloom must cover every key physically present in THAT
+        file, not the resolved winners.
+        """
+        if not groups:
+            return None
+        delta_buckets = {fg["bucket"] for fg in groups if fg.get("delta")}
+        if not resolve_deltas or not delta_buckets:
+            return self._read_groups_raw(
+                snap, groups, include_deleted=include_deleted,
+                with_file_path=with_file_path,
+            )
+        plain = [fg for fg in groups if fg["bucket"] not in delta_buckets]
+        mor = [fg for fg in groups if fg["bucket"] in delta_buckets]
+        key, vorder = snap["key"], snap["version_order"]
+        if not key or not vorder:
+            raise ValueError("delta file groups require key + version_order")
+        # one raw read per distinct seq (base = -1); each is internally
+        # batched by schema_id, so the union width is O(generations per
+        # bucket) — bounded by the compaction cadence, not history
+        by_seq: dict[int, list[dict]] = {}
+        for fg in mor:
+            by_seq.setdefault(fg.get("seq", -1) if fg.get("delta") else -1, []).append(fg)
+        gen_parts = []
+        for seq, fgs in sorted(by_seq.items()):
+            part = self._read_groups_raw(
+                snap, fgs, include_deleted=True, with_file_path=with_file_path
+            )
+            gen_parts.append(part.withColumn("_seq", F.lit(seq).cast("long")))
+        unioned = gen_parts[0]
+        for p in gen_parts[1:]:
+            unioned = unioned.unionByName(p)
+        from web3research_etl_spark.operators.lww import lww_dedup_agg
+
+        resolved = lww_dedup_agg(unioned, key, vorder + ["_seq"]).drop("_seq")
+        if not include_deleted:
+            resolved = resolved.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
+        if not plain:
+            return resolved
+        plain_df = self._read_groups_raw(
+            snap, plain, include_deleted=include_deleted,
+            with_file_path=with_file_path,
+        )
+        return plain_df.unionByName(resolved)
+
+    def _read_groups_raw(
         self,
         snap: dict,
         groups: list[dict],
@@ -995,6 +1126,11 @@ class LakeTable:
                 ] + new_entries
                 base = latest
                 new_id = latest["snapshot_id"] + 1
+                # delta seq must equal the id actually committed — the
+                # read-side LWW tie-break orders generations by it
+                for e in new_entries:
+                    if e.get("delta"):
+                        e["seq"] = new_id
 
     # ------------------------------------------------------------- utility
     def read_for_keys(self, keys: list, include_deleted: bool = False) -> DataFrame:
@@ -1237,9 +1373,13 @@ class LakeTable:
             return {"skipped": True, "reason": "all files have blooms"}
         # tombstones included: a bloom must cover every key physically
         # present, else a live-row probe could false-negative after the
-        # row is resurrected by a later merge reading the same file
+        # row is resurrected by a later merge reading the same file.
+        # resolve_deltas=False for the same reason: a bloom describes
+        # the PHYSICAL file contents — LWW-losing rows are still in the
+        # file and their keys must probe positive.
         df = self._read_groups(
-            snap, todo_groups, include_deleted=True, with_file_path=True
+            snap, todo_groups, include_deleted=True, with_file_path=True,
+            resolve_deltas=False,
         )
         h = F.xxhash64(
             F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])

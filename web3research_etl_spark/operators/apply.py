@@ -45,12 +45,19 @@ def apply_changelog_batch(
     ledger: LakeTable | None = None,
     registry: DataFrame | None = None,
     salt_partitions: int | str | None = None,
+    write_mode: str | None = None,
 ) -> dict:
     """Apply one micro-batch exactly-once. Returns merge stats.
 
     ``salt_partitions="auto"`` measures the batch's bucket histogram and
     salts the write shuffle only when a hot domain actually skews it
-    (operators/skew.py)."""
+    (operators/skew.py).
+
+    ``write_mode="mor"`` appends the batch's winners as merge-on-read
+    delta file groups instead of rewriting touched buckets — see
+    LakeTable.merge_changelog. The extract-at-write text UDF then runs
+    on batch winners only (stored rows are never rewritten), shrinking
+    per-epoch UDF work along with the write amplification."""
     if epoch_id in table.committed_epochs():
         return {"skipped": True, "epoch_id": epoch_id}
 
@@ -109,6 +116,7 @@ def apply_changelog_batch(
         epoch_id=epoch_id,
         salt_partitions=salt_partitions,
         pre_write_transform=_extract_at_write,
+        write_mode=write_mode,
     )
     if ledger is not None and not result.get("skipped"):
         rows = ledger_rows_for_batch(batch, epoch_id, result["snapshot_id"])

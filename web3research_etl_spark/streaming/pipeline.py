@@ -61,6 +61,7 @@ def run_sync(
     maintain_every: int | None = None,
     maintain_retain_last: int = 8,
     maintain_blooms: bool = False,
+    write_mode: str | None = None,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
@@ -113,6 +114,13 @@ def run_sync(
     cluster the same calls run out-of-band via ``maintain`` CLI under
     the lake's optimistic-concurrency commit (test_occ).
 
+    ``write_mode="mor"`` applies each epoch as merge-on-read delta
+    file groups (O(batch) written per epoch, no stored-state read —
+    see LakeTable.merge_changelog). Pair it with ``maintain_every``:
+    the periodic ``rewrite_small_files`` pass folds accumulated deltas
+    back into base generations through the resolved read, bounding the
+    per-read resolve cost to ``maintain_every`` generations.
+
     ``source`` overrides the default file-stream reader with any
     pre-built streaming DataFrame in CHANGELOG_SCHEMA shape — e.g.
     ``sources.kafka_wire.stream_changelog_wire`` (or a real
@@ -142,6 +150,7 @@ def run_sync(
             ledger=ledger,
             registry=registry,
             salt_partitions=salt_partitions,
+            write_mode=write_mode,
         )
         if feed_dir is not None:
             from web3research_etl_spark.lake.cdc_feed import publish_changes
