@@ -1200,6 +1200,29 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a NEW batch against the EXISTING corpus
+    (operators/dedup.py:dedup_against_corpus) — the per-crawl operation
+    of a standing ingest: LSH band buckets joined new×corpus only (no
+    corpus×corpus, no new×new), exact shingle Jaccard on candidates.
+    Split: doc_id % 5 == 0 plays the incoming batch, the rest the
+    standing corpus (built here via minhash_band_buckets, i.e. the
+    persisted-index path a LakeTable would serve)."""
+    from web3research_etl_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_band_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    idx = minhash_band_buckets(corpus, k=12, num_hashes=8, bands=4)
+    return dedup_against_corpus(
+        new, corpus, k=12, threshold=0.2, num_hashes=8, bands=4,
+        corpus_index=idx,
+    )
+
+
 def q_doc_pack_chunks(spark, sf_dir):
     """Sequence packing for LLM training (concatenate-then-chunk at a
     512-token budget, per-language streams): one shuffle on the shard
@@ -1354,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_frac": q_doc_sample_frac,
         "doc_sample_stratified": q_doc_sample_stratified,
         "corpus_curation": q_corpus_curation,
+        "incremental_dedup": q_incremental_dedup,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_segment_dedup": q_doc_segment_dedup,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1507,6 +1531,39 @@ def _ngram_jaccard_lsh_oracle(
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {threshold}
+    """
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB replica of operators/dedup.py:dedup_against_corpus with
+    the driver split (doc_id % 5 == 0 = incoming batch): the operator's
+    contract is 'global LSH banding restricted to cross-side pairs', so
+    the oracle reuses the exact global CTEs (`kept` buckets over new ∪
+    corpus, same combined bucket cap) and only the pair join changes."""
+    return f"""
+        WITH {_lsh_pairs_ctes(num_hashes, bands, max_bucket_size)},
+        xpairs AS (
+          SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+          FROM kept n JOIN kept c ON n.bucket = c.bucket
+          WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.new_doc, p.corpus_doc, count(*) AS n_common
+          FROM xpairs p
+          JOIN sh a ON a.doc_id = p.new_doc
+          JOIN sh b ON b.doc_id = p.corpus_doc AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT i.new_doc, i.corpus_doc,
+               round(n_common / (sn.set_size + sc.set_size - n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sn ON sn.doc_id = i.new_doc
+        JOIN sizes sc ON sc.doc_id = i.corpus_doc
+        WHERE n_common / (sn.set_size + sc.set_size - n_common) >= {threshold}
     """
 
 
@@ -2158,6 +2215,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(num_hashes=8, bands=4),
         "ngram_jaccard_lsh": _ngram_jaccard_lsh_oracle(
+            num_hashes=8, bands=4, threshold=0.2
+        ),
+        "incremental_dedup": _incremental_dedup_oracle(
             num_hashes=8, bands=4, threshold=0.2
         ),
         "map_type_rollup": """

@@ -455,3 +455,65 @@ def test_pack_sequences_single_shuffle(spark, docs):
 
     plan = pack_sequences(docs, 512)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_dedup_is_cross_side_slice_of_global(spark, docs):
+    """dedup_against_corpus == the global LSH dedup restricted to
+    (new, corpus) pairs: identical pair set and bit-identical jaccard.
+    This is the contract that lets a standing corpus be deduped
+    incrementally (per-batch cost O(batch), not O(corpus^2)) without
+    changing WHAT is considered a duplicate."""
+    from web3research_etl_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_band_buckets,
+        ngram_jaccard_via_lsh,
+    )
+
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    inc = {
+        (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in dedup_against_corpus(
+            new, corpus, k=12, threshold=0.2, num_hashes=8, bands=4
+        ).collect()
+    }
+    global_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_via_lsh(
+            docs, k=12, threshold=0.2, num_hashes=8, bands=4
+        ).collect()
+    }
+    cross = {
+        (a, b) if a % 5 == 0 else (b, a): j
+        for (a, b), j in global_pairs.items()
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert len(inc) > 0
+    assert inc == cross
+
+    # persisted-index path: a prebuilt corpus index gives the same answer
+    idx = minhash_band_buckets(corpus, k=12, num_hashes=8, bands=4)
+    inc_idx = {
+        (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in dedup_against_corpus(
+            new, corpus, k=12, threshold=0.2, num_hashes=8, bands=4,
+            corpus_index=idx,
+        ).collect()
+    }
+    assert inc_idx == inc
+
+
+def test_incremental_dedup_plan_is_equi_join_only(spark, docs):
+    from web3research_etl_spark.operators.dedup import dedup_against_corpus
+
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    plan = (
+        dedup_against_corpus(new, corpus, k=12, threshold=0.2,
+                             num_hashes=8, bands=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

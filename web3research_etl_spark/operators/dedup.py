@@ -245,6 +245,138 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_band_buckets(
+    docs: DataFrame, k: int = 12, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, bucket) band membership — the LSH *index* frame. For a
+    standing corpus this is what you persist (a LakeTable keyed by
+    bucket): new batches join against it instead of re-banding the
+    corpus. Deterministic (md5 over minhash values, no RNG), so an
+    index built incrementally equals one built from scratch."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(bd)),
+                *[
+                    F.col(f"mh{bd * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{bd}")
+        for bd in range(bands)
+    ]
+    return (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.col(f"band{bd}") for bd in range(bands)])).alias(
+                "bucket"
+            ),
+        )
+        .distinct()
+    )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    k: int = 12,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup: which NEW docs near-duplicate the EXISTING
+    corpus — the per-crawl operation of a standing ingest ("is today's
+    batch already in the lake?"). Candidate work is new×corpus via
+    shared LSH band buckets: NO corpus×corpus pairs, NO new×new pairs —
+    per batch the cost is O(batch bands + matched buckets), not
+    O(corpus²) re-dedup. Exact shingle-set Jaccard verifies candidates,
+    with the shingle frames semi-joined down to candidate docs first
+    (corpus shingles are only ever computed for docs an LSH bucket
+    actually matched).
+
+    Semantics = the global LSH dedup restricted to cross pairs: band
+    buckets and the ``max_bucket_size`` quadratic guard are computed
+    over new ∪ corpus, so (new, corpus) candidates here are exactly the
+    cross-side subset of ``minhash_lsh_candidates(new ∪ corpus)`` — the
+    property the DuckDB oracle pins.
+
+    ``corpus_index``: a precomputed ``minhash_band_buckets`` frame for
+    the corpus (the persisted-index path); when given, corpus docs are
+    never re-banded. Returns (new_doc, corpus_doc, jaccard ≥ threshold).
+    """
+    new_b = materialize(minhash_band_buckets(new_docs, k, num_hashes, bands))
+    old_b = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_band_buckets(corpus_docs, k, num_hashes, bands)
+    )
+    old_b = materialize(old_b)
+    # quadratic guard over the COMBINED bucket population (identical to
+    # the global operator's cap — a bucket hot across both sides is as
+    # quadratic as one hot on either)
+    counts = (
+        new_b.select("bucket")
+        .unionByName(old_b.select("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+    )
+    ok = counts.filter(F.col("bn") <= max_bucket_size).select("bucket")
+    pairs = materialize(
+        new_b.join(ok, "bucket")
+        .select(F.col("doc_id").alias("new_doc"), "bucket")
+        .join(old_b.select(F.col("doc_id").alias("corpus_doc"), "bucket"), "bucket")
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    # exact verification on candidate docs only, each side from its own
+    # input frame (in production: batch vs lake scan, both pruned)
+    new_sh = materialize(
+        exploded_shingles(new_docs, k).join(
+            pairs.select(F.col("new_doc").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    old_sh = materialize(
+        exploded_shingles(corpus_docs, k).join(
+            pairs.select(F.col("corpus_doc").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    sizes_n = new_sh.groupBy("doc_id").agg(F.count("*").alias("size_n"))
+    sizes_o = old_sh.groupBy("doc_id").agg(F.count("*").alias("size_o"))
+    inter = (
+        pairs.join(new_sh.select(F.col("doc_id").alias("new_doc"), "shingle"), "new_doc")
+        .join(
+            old_sh.select(F.col("doc_id").alias("corpus_doc"), "shingle"),
+            ["corpus_doc", "shingle"],
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes_n.select(F.col("doc_id").alias("new_doc"), "size_n"), "new_doc")
+        .join(sizes_o.select(F.col("doc_id").alias("corpus_doc"), "size_o"), "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_n") + F.col("size_o") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
