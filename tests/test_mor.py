@@ -275,3 +275,24 @@ def test_mor_streaming_sync_with_auto_compaction(spark, tmp_table_dir):
         q.awaitTermination()
         results[mode] = table.state_hash()
     assert results["mor"] == results["cow"]
+
+
+def test_compaction_min_groups_amortizes(spark, tmp_table_dir):
+    """min_groups raises the per-bucket fold threshold: a bucket two
+    generations deep is left alone at min_groups=4 (the MoR
+    amortization knob) and folded once it crosses the threshold."""
+    t = _table(spark, tmp_table_dir, n_buckets=1)
+    t.merge_changelog(_batch(spark, [("I", "a", 100, 1, "a1")]), epoch_id=1, write_mode="mor")
+    t.merge_changelog(_batch(spark, [("U", "a", 200, 2, "a2")]), epoch_id=2, write_mode="mor")
+    res = t.rewrite_small_files(target_min_files_per_bucket=3, min_groups=4)
+    assert res["skipped"], "2 generations must not fold at min_groups=4"
+    assert _delta_groups(t)
+    t.merge_changelog(_batch(spark, [("U", "a", 300, 3, "a3")]), epoch_id=3, write_mode="mor")
+    t.merge_changelog(_batch(spark, [("U", "a", 400, 4, "a4")]), epoch_id=4, write_mode="mor")
+    res = t.rewrite_small_files(target_min_files_per_bucket=3, min_groups=4)
+    assert not res["skipped"]
+    assert _delta_groups(t) == []
+    assert [(r["url"], r["v"]) for r in t.read().collect()] == [("a", "a4")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_groups"):
+        t.rewrite_small_files(min_groups=1)

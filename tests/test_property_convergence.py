@@ -83,3 +83,44 @@ def test_any_schedule_converges(spark, ch_and_ref, order, redeliver, stale_repla
         assert t.state_hash() == ref_hash
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    order=st.permutations(list(range(N_CHUNKS))),
+    modes=st.lists(
+        st.sampled_from(["cow", "mor"]), min_size=N_CHUNKS, max_size=N_CHUNKS
+    ),
+    compact_after=st.lists(st.booleans(), min_size=N_CHUNKS, max_size=N_CHUNKS),
+    redeliver_mode=st.sampled_from(["cow", "mor"]),
+)
+def test_any_mixed_write_mode_schedule_converges(
+    spark, ch_and_ref, order, modes, compact_after, redeliver_mode
+):
+    """Write-path independence under ANY schedule: every epoch applied
+    CoW or MoR (hypothesis picks per-position), compaction injected at
+    arbitrary points, redelivery under either mode — the converged
+    state must equal the single-batch reference hash. This is the MoR
+    analog of the reference's ReplacingMergeTree replay invariant: the
+    stored LAYOUT may differ (delta generations vs rewritten buckets),
+    the resolved STATE may not."""
+    ch, ref_hash = ch_and_ref
+    chunks = [ch.filter(F.col("event_seq") % N_CHUNKS == i) for i in range(N_CHUNKS)]
+    d = tempfile.mkdtemp(prefix="prop_mor_")
+    try:
+        t = _new_table(spark, d)
+        for pos, i in enumerate(order):
+            stats = apply_changelog_batch(t, chunks[i], epoch_id=i, write_mode=modes[pos])
+            assert not stats.get("skipped")
+            if compact_after[pos]:
+                t.rewrite_small_files()
+            # same epoch id redelivered under EITHER mode must skip
+            stats = apply_changelog_batch(t, chunks[i], epoch_id=i, write_mode=redeliver_mode)
+            assert stats.get("skipped")
+        assert t.state_hash() == ref_hash
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -49,6 +49,14 @@ def _common(sub: argparse.ArgumentParser) -> None:
     )
     sub.add_argument("--no-registry", action="store_true")
     sub.add_argument(
+        "--maintain-min-groups",
+        type=int,
+        default=2,
+        help="per-bucket generation count at which --maintain-every's "
+        "compaction folds a bucket (default 2 = any multi-group bucket; "
+        "raise under --write-mode mor to amortize rewrites)",
+    )
+    sub.add_argument(
         "--write-mode",
         default=None,
         choices=["cow", "mor"],
@@ -471,6 +479,7 @@ def main(argv: list[str] | None = None) -> int:
             maintain_every=getattr(args, "maintain_every", None),
             maintain_retain_last=getattr(args, "maintain_retain", 8),
             maintain_blooms=getattr(args, "maintain_blooms", False),
+            maintain_min_groups=getattr(args, "maintain_min_groups", 2),
             write_mode=getattr(args, "write_mode", None),
         )
         if args.cmd == "init":

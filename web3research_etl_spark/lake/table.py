@@ -1425,13 +1425,25 @@ class LakeTable:
         except Exception:
             return None  # unreadable sidecar must mean "scan", never "skip"
 
-    def rewrite_small_files(self, target_min_files_per_bucket: int = 1) -> dict:
+    def rewrite_small_files(
+        self, target_min_files_per_bucket: int = 1, min_groups: int = 2
+    ) -> dict:
         """Compaction (SURVEY S10 — the reference's OPTIMIZE sidecar,
         scripts/optimize_db.py:27; Iceberg's rewrite_data_files):
         buckets whose file count exceeds the target are read back and
         rewritten as one file group each. Untouched buckets carry over
         — compaction is incremental and snapshot-atomic, and readers of
-        older snapshots are unaffected (time travel intact)."""
+        older snapshots are unaffected (time travel intact).
+
+        ``min_groups`` (≥2) is the generation-count trigger for a
+        bucket: the default 2 folds every multi-group bucket (appends
+        and MoR deltas alike). Under steady MoR ingest raise it to the
+        per-read resolve budget (e.g. 4): a bucket is rewritten only
+        once it has accumulated that many generations, so cold buckets
+        a few deltas deep aren't re-rewritten by every maintenance
+        pass — the write-amplification amortization MoR exists for."""
+        if min_groups < 2:
+            raise ValueError("min_groups must be >= 2 (a lone base group never folds)")
         snap = self.current_snapshot()
         by_bucket: dict[int, list[dict]] = {}
         for fg in snap["file_groups"]:
@@ -1440,7 +1452,7 @@ class LakeTable:
             b: fgs
             for b, fgs in by_bucket.items()
             if sum(len(fg["paths"]) for fg in fgs) > target_min_files_per_bucket
-            or len(fgs) > 1
+            or len(fgs) >= min_groups
         }
         if not fragmented:
             return {"skipped": True, "reason": "nothing fragmented"}

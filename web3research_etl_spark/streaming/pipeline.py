@@ -61,6 +61,7 @@ def run_sync(
     maintain_every: int | None = None,
     maintain_retain_last: int = 8,
     maintain_blooms: bool = False,
+    maintain_min_groups: int = 2,
     write_mode: str | None = None,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
@@ -120,6 +121,10 @@ def run_sync(
     the periodic ``rewrite_small_files`` pass folds accumulated deltas
     back into base generations through the resolved read, bounding the
     per-read resolve cost to ``maintain_every`` generations.
+    ``maintain_min_groups`` raises the per-bucket generation threshold
+    the pass folds at (default 2 = fold any multi-group bucket): under
+    steady MoR ingest set it to the resolve budget so cold buckets a
+    couple of deltas deep aren't rewritten every pass.
 
     ``source`` overrides the default file-stream reader with any
     pre-built streaming DataFrame in CHANGELOG_SCHEMA shape — e.g.
@@ -164,7 +169,10 @@ def run_sync(
             applied_since_maintain += 1
             if applied_since_maintain >= maintain_every:
                 applied_since_maintain = 0
-                table.rewrite_small_files()
+                table.rewrite_small_files(
+                    target_min_files_per_bucket=max(1, maintain_min_groups - 1),
+                    min_groups=maintain_min_groups,
+                )
                 table.expire_snapshots(retain_last=maintain_retain_last)
                 if maintain_blooms:
                     table.build_blooms()
