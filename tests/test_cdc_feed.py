@@ -325,3 +325,44 @@ def test_expire_feed_retention_and_consumer_resume(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["url"] for r in spark.read.parquet(sink).collect()}
     assert got == {"a", "b", "c", "d"}  # old rows in sink + only 'd' new
+
+
+def test_feed_over_mor_source_replicates_correctly(spark, tmp_path):
+    """A source written merge-on-read must publish the SAME feed
+    semantics as a CoW source: per-snapshot diffs are computed through
+    the resolved base⊕delta read (a delta tombstone diffs as a delete,
+    a delta update as an update), a mid-stream compaction publishes
+    nothing (metadata-equivalent rewrite), and a mirror replaying the
+    feed content-hash-equals the MoR source."""
+    import glob
+
+    src = _table(spark, f"{tmp_path}/src_mor")
+    feed = f"{tmp_path}/feed_mor"
+    src.merge_changelog(
+        _batch(spark, [("I", "a", 100, 1, "a1"), ("I", "b", 100, 2, "b1")]),
+        epoch_id=0, write_mode="mor",
+    )
+    src.merge_changelog(
+        _batch(spark, [("U", "a", 200, 3, "a2"), ("D", "b", 200, 4, None)]),
+        epoch_id=1, write_mode="mor",
+    )
+    src.rewrite_small_files()  # fold deltas mid-history
+    src.merge_changelog(
+        _batch(spark, [("I", "b", 300, 5, "b-back")]), epoch_id=2, write_mode="mor"
+    )
+    publish_changes(src, feed, payloads=True)
+
+    batch_dirs = sorted(glob.glob(f"{feed}/s*"))
+    # 3 data snapshots publish; the compaction snapshot must not
+    assert len(batch_dirs) == 3
+
+    mirror = LakeTable.create(
+        spark, f"{tmp_path}/mirror_mor", SCHEMA, key=["url"],
+        version_order=["warc_ts", "event_seq"], n_buckets=4,
+    )
+    schema = feed_schema(src, payloads=True)
+    for i, sdir in enumerate(batch_dirs):
+        apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=i)
+    assert mirror.state_hash() == src.state_hash()
+    got = {(r["url"], r["v"]) for r in mirror.read().collect()}
+    assert got == {("a", "a2"), ("b", "b-back")}

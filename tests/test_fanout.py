@@ -211,3 +211,35 @@ def test_fanout_random_crash_schedules_converge(spark, tmp_table_dir, ch_dir):
                 continue  # retry the SAME (batch, epoch) — the CDC contract
         assert attempts >= 1
         assert _hashes(tables) == clean_hashes, f"seed {seed} diverged"
+
+
+def test_fanout_mor_converges_to_cow(spark, tmp_table_dir, ch_dir):
+    """write_mode='mor' through the fan-out: every route table's
+    resolved state equals the CoW fan-out's, per-route delta groups
+    exist before compaction, and redelivery skips under MoR too."""
+    ch = spark.read.parquet(ch_dir).cache()
+    try:
+        cow = _mk_tables(spark, tmp_table_dir, "wm_cow")
+        mor = _mk_tables(spark, tmp_table_dir, "wm_mor")
+        halves = [
+            ch.filter(F.pmod(F.col("event_seq"), F.lit(2)) == i) for i in range(2)
+        ]
+        for e, part in enumerate(halves):
+            apply_fanout_batch(cow, part, epoch_id=e, discriminator=F.col("lang"))
+            apply_fanout_batch(
+                mor, part, epoch_id=e, discriminator=F.col("lang"), write_mode="mor"
+            )
+        assert any(
+            fg.get("delta")
+            for t in mor.values()
+            for fg in t.current_snapshot()["file_groups"]
+        )
+        redo = apply_fanout_batch(
+            mor, halves[0], epoch_id=0, discriminator=F.col("lang"), write_mode="mor"
+        )
+        assert all(r.get("skipped") for r in redo.values())
+        for r in mor:
+            mor[r].rewrite_small_files()
+            assert mor[r].state_hash() == cow[r].state_hash(), r
+    finally:
+        ch.unpersist()

@@ -45,6 +45,7 @@ def apply_fanout_batch(
     salt_partitions: int | str | None = None,
     on_route_committed: Callable[[str, dict], None] | None = None,
     apply_fn: Callable | None = None,
+    write_mode: str | None = None,
 ) -> dict[str, dict]:
     """Apply one micro-batch to every route table, exactly-once per
     table. ``tables`` maps route name → LakeTable; ``routes`` maps route
@@ -74,13 +75,20 @@ def apply_fanout_batch(
         for r in route_names:
             if r not in routed:
                 continue
+            kwargs = dict(
+                ledger=(ledgers or {}).get(r),
+                registry=registry,
+                salt_partitions=salt_partitions,
+            )
+            if write_mode is not None:
+                # only forwarded when set so a custom apply_fn without
+                # the kwarg keeps working in the default cow world
+                kwargs["write_mode"] = write_mode
             res = (apply_fn or apply_changelog_batch)(
                 tables[r],
                 routed[r],
                 epoch_id=epoch_id,
-                ledger=(ledgers or {}).get(r),
-                registry=registry,
-                salt_partitions=salt_partitions,
+                **kwargs,
             )
             results[r] = res
             if on_route_committed is not None:
