@@ -228,6 +228,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--compact", action="store_true", help="rewrite fragmented buckets"
     )
     maintain.add_argument(
+        "--compact-min-groups",
+        type=int,
+        default=2,
+        help="fold a bucket only once it holds this many file groups "
+        "(raise under write-mode mor to amortize rewrites; default 2)",
+    )
+    maintain.add_argument(
         "--vacuum-before",
         default=None,
         help="drop tombstones versioned before this timestamp "
@@ -379,7 +386,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.rebucket is not None:
             report["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:
-            report["compact"] = table.rewrite_small_files()
+            report["compact"] = table.rewrite_small_files(
+                target_min_files_per_bucket=max(1, args.compact_min_groups - 1),
+                min_groups=args.compact_min_groups,
+            )
         if args.vacuum_before:
             report["vacuum"] = table.vacuum_tombstones(args.vacuum_before)
         if args.expire_keep is not None:
