@@ -229,3 +229,56 @@ def test_threaded_writers_converge(spark, tmp_table_dir):
     for e in sorted(batches):
         ctrl.merge_changelog(_batch(spark, batches[e]), epoch_id=e)
     assert final.state_hash() == ctrl.state_hash()
+
+
+def test_mor_delta_rebases_across_any_commit_cow_conflicts_on_delta(
+    spark, tmp_table_dir
+):
+    """Mixed-mode OCC: (1) a delta writer racing ANY concurrent data
+    commit — even one rewriting the same bucket — rebases (touched=∅,
+    replaces nothing) and its seq is refreshed to the id actually
+    committed; (2) a CoW merge racing a concurrent delta append TO A
+    BUCKET IT REWRITES must conflict loudly (its read of stored state
+    predates the delta — silently rebasing would drop the delta's
+    rows), and the caller's re-run against fresh state converges."""
+    b0, b1 = _keys_by_bucket(spark)
+    t = _create(spark, f"{tmp_table_dir}/mixed")
+    t.merge_changelog(
+        _batch(spark, [("I", b0[0], 100, 1.0), ("I", b1[0], 100, 2.0)]), epoch_id=0
+    )
+
+    # (1) delta writer vs CoW writer on the SAME bucket: delta rebases
+    writer = LakeTable.load(spark, f"{tmp_table_dir}/mixed")
+    _race(
+        writer,
+        lambda: t.merge_changelog(
+            _batch(spark, [("U", b0[0], 200, 1.5)]), epoch_id=1
+        ),
+    )
+    res = writer.merge_changelog(
+        _batch(spark, [("U", b0[1], 200, 9.0)]), epoch_id=2, write_mode="mor"
+    )
+    assert not res.get("skipped")
+    snap = writer.current_snapshot()
+    deltas = [fg for fg in snap["file_groups"] if fg.get("delta")]
+    assert deltas and all(d["seq"] == res["snapshot_id"] for d in deltas)
+    live = {r["url"]: r["v"] for r in writer.read().collect()}
+    assert live[b0[0]] == 1.5 and live[b0[1]] == 9.0  # neither write lost
+
+    # (2) CoW writer vs concurrent delta on a bucket it rewrites: conflict
+    writer2 = LakeTable.load(spark, f"{tmp_table_dir}/mixed")
+    _race(
+        writer2,
+        lambda: t.merge_changelog(
+            _batch(spark, [("U", b0[2], 300, 3.0)]), epoch_id=3, write_mode="mor"
+        ),
+    )
+    with pytest.raises(CommitConflictError, match="touched bucket"):
+        writer2.merge_changelog(
+            _batch(spark, [("U", b0[3], 300, 4.0)]), epoch_id=4
+        )
+    # re-run against fresh state applies cleanly; nothing was dropped
+    writer2 = LakeTable.load(spark, f"{tmp_table_dir}/mixed")
+    writer2.merge_changelog(_batch(spark, [("U", b0[3], 300, 4.0)]), epoch_id=4)
+    live = {r["url"]: r["v"] for r in writer2.read().collect()}
+    assert live[b0[2]] == 3.0 and live[b0[3]] == 4.0
