@@ -296,3 +296,19 @@ def test_compaction_min_groups_amortizes(spark, tmp_table_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_groups"):
         t.rewrite_small_files(min_groups=1)
+
+
+def test_compacted_mor_read_plan_is_shuffle_free(spark, tmp_table_dir):
+    """The MoR read price is paid ONLY while deltas are outstanding: a
+    read over delta'd buckets needs the resolve shuffle (Exchange in the
+    plan), and after compaction the read is a plain whole-stage-codegen
+    parquet scan with NO Exchange — a fully-maintained MoR table reads
+    exactly like a CoW table."""
+    t = _table(spark, tmp_table_dir)
+    _apply_all(t, spark, "mor")
+    plan_delta = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_delta
+    t.rewrite_small_files()
+    plan_base = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_base
+    assert "WholeStageCodegen" in plan_base or "*(1)" in plan_base
