@@ -8,11 +8,16 @@ backfill), `sync` (unbounded tail), `check` (reconcile + heal). Ours:
         sync  --source DIR --table DIR --checkpoint DIR [--ledger DIR]
         check --source DIR --table DIR [--heal]
         changes --table DIR --from-snapshot A [--to-snapshot B] [--out DIR]
+        maintain --table DIR [--compact [--compact-min-groups G]]
+                 [--vacuum-before TS] [--expire-keep N] [--remove-orphans]
+                 [--rebucket N] [--expire-feed DIR] [--build-blooms]
         gen   --out DIR --events N          (synthetic changelog fixture)
 
     All changelog-consuming commands accept ``--source-format wire`` to
     read Kafka-wire-shaped records (sources/kafka_wire.py) instead of
-    plain changelog parquet.
+    plain changelog parquet; ``--write-mode mor`` switches the merge to
+    merge-on-read delta appends (pair with ``--maintain-every`` /
+    ``--maintain-min-groups`` to bound read-side generations).
 
 Also runnable locally: python -m web3research_etl_spark.cli ...
 """
