@@ -22,8 +22,15 @@ design is 1:1 with Iceberg's model so a real catalog slots in):
   merge rewrites ONLY the buckets touched by the batch — at 100 TB a
   batch touching 3% of buckets rewrites 3% of data, not 100%.
 - **merge-on-read deltas** (``write_mode="mor"``, Iceberg v2's
-  row-level deltas): an epoch's LWW-resolved winners are APPENDED as
-  per-bucket delta file groups (``delta: true``, ``seq: snapshot_id``)
+  row-level deltas). This is also the REFERENCE's own storage model:
+  ClickHouse ReplacingMergeTree appends parts and resolves versions at
+  background merge / ``SELECT FINAL`` (src/ch_eth/init.rs:169,204,240
+  ``ENGINE=ReplacingMergeTree``), with ``OPTIMIZE TABLE FINAL
+  DEDUPLICATE`` as the explicit fold (scripts/optimize_db.py:27) —
+  ``write_mode="mor"`` is that write path re-expressed on the lake,
+  ``rewrite_small_files`` its OPTIMIZE FINAL. Mechanically: an
+  epoch's LWW-resolved winners are APPENDED as per-bucket delta file
+  groups (``delta: true``, ``seq: snapshot_id``)
   — O(batch) written per epoch, zero read of stored state. Readers
   resolve base ⊕ deltas per key by ``(version_order…, seq)`` — the
   same winner the copy-on-write path would persist, because exact
