@@ -312,3 +312,51 @@ def test_compacted_mor_read_plan_is_shuffle_free(spark, tmp_table_dir):
     plan_base = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_base
     assert "WholeStageCodegen" in plan_base or "*(1)" in plan_base
+
+
+def test_heal_repairs_mor_table(spark, tmp_table_dir):
+    """reconcile + heal over a table with outstanding delta groups:
+    reconcile reads the RESOLVED state, and heal's force_replace merge
+    (CoW-only by contract) folds the touched buckets' deltas while
+    repairing — stored state converges to the changelog-implied state
+    even when the damage sits under a delta generation."""
+    from web3research_etl_spark.changelog import generate_changelog
+    from web3research_etl_spark.operators.reconcile import (
+        expected_state,
+        heal,
+        reconcile,
+    )
+    from web3research_etl_spark.schemas import PAGES_KEY, PAGES_SCHEMA, PAGES_VERSION_ORDER
+
+    ch = generate_changelog(spark, 1500).cache()
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, "heal_mor"), PAGES_SCHEMA,
+            key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+        )
+        for i in range(3):
+            t.merge_changelog(
+                ch.filter(F.pmod(F.col("event_seq"), F.lit(3)) == i)
+                .withColumn("op", F.col("op")),
+                epoch_id=i, write_mode="mor",
+            )
+        assert _delta_groups(t)
+        # corrupt: drop two stored keys via a bogus high-version delete
+        # (collected to literals first — feeding the table's own resolved
+        # read back into a merge is the recursive-lineage antipattern)
+        victims = t.read().select("url", "warc_ts", "event_seq").limit(2).collect()
+        bogus = spark.createDataFrame(
+            [("D", r["url"], r["warc_ts"], r["event_seq"] + 10**6, None, None)
+             for r in victims],
+            "op string, url string, warc_ts timestamp, event_seq long, "
+            "html binary, lang string",
+        )
+        t.merge_changelog(bogus, epoch_id=50, write_mode="mor")
+        victims = [r["url"] for r in victims]
+        rep = reconcile(t.read(), expected_state(ch))
+        assert rep.filter(F.col("status") != "ok").count() >= 2
+        heal(t, ch, epoch_id=99)
+        rep2 = reconcile(t.read(), expected_state(ch))
+        assert rep2.filter(F.col("status") != "ok").count() == 0
+    finally:
+        ch.unpersist()

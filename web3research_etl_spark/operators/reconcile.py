@@ -182,6 +182,17 @@ def heal(
     fixes = fixes.withColumn(
         "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
     )
+    # MATERIALIZE the fix batch (it is small — only non-ok keys) before
+    # feeding it back into a merge on the same table: its lineage holds
+    # the stored-table read TWICE (reconcile + orphan branch), and on a
+    # merge-on-read table each of those is a multi-generation union +
+    # resolve whose shared subtrees the merge's own read would nest
+    # again — the write plan's printed tree grows exponentially and can
+    # OOM the driver before a single task runs (found by
+    # test_heal_repairs_mor_table at 4 delta generations).
+    from web3research_etl_spark.checkpoint import materialize
+
+    fixes = materialize(fixes)
     # force_replace: the changelog is the source of truth even when the
     # stored version is numerically newer (reorg semantics)
     return table.merge_changelog(fixes, epoch_id=epoch_id, force_replace=True)
