@@ -1200,6 +1200,17 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_doc_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + shard export order (operators/
+    sample.py:shard_assign): shard = keyed-hash mod 8, pos = hash-rank
+    within shard — one global pseudorandom permutation of the corpus,
+    materialized per shard (ONE shuffle, no global sort), bit-identical
+    on any cluster size/partitioning/engine."""
+    from web3research_etl_spark.operators.sample import shard_assign
+
+    return shard_assign(_t(spark, sf_dir, "documents"), "doc_id", 8, salt="ep0")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a NEW batch against the EXISTING corpus
     (operators/dedup.py:dedup_against_corpus) — the per-crawl operation
@@ -1377,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_frac": q_doc_sample_frac,
         "doc_sample_stratified": q_doc_sample_stratified,
         "corpus_curation": q_corpus_curation,
+        "doc_shard_assign": q_doc_shard_assign,
         "incremental_dedup": q_incremental_dedup,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_segment_dedup": q_doc_segment_dedup,
@@ -2271,6 +2283,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(cc.comp, d.doc_id) = d.doc_id AS INT)
                      AS is_canonical
             FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        """,
+        "doc_shard_assign": f"""
+            SELECT doc_id,
+                   {_H60.format(x="concat_ws(':', 'ep0', CAST(doc_id AS VARCHAR))")} % 8
+                     AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY {_H60.format(x="concat_ws(':', 'ep0', CAST(doc_id AS VARCHAR))")} % 8
+                     ORDER BY {_H60.format(x="concat_ws(':', 'ep0:order', CAST(doc_id AS VARCHAR))")} ASC,
+                              doc_id ASC) AS INT) AS pos
+            FROM documents
         """,
         "doc_sample_frac": f"""
             SELECT doc_id, lang, source FROM documents

@@ -517,3 +517,29 @@ def test_incremental_dedup_plan_is_equi_join_only(spark, docs):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shard_assign_is_deterministic_permutation(spark, docs):
+    """shard_assign = one global pseudorandom permutation chunked into
+    shards: every doc exactly once, pos dense 1..|shard| within each
+    shard, assignment independent of input partitioning, reshuffled by
+    salt but reproduced exactly by the same salt."""
+    from web3research_etl_spark.operators.sample import shard_assign
+
+    out = shard_assign(docs, "doc_id", 4, salt="s1").collect()
+    n = docs.count()
+    assert len(out) == n and len({r["doc_id"] for r in out}) == n
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # no empty/degenerate shard on this fixture (hash balance)
+    assert len(by_shard) == 4
+
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)  # noqa: E731
+    again = shard_assign(docs.repartition(17), "doc_id", 4, salt="s1").collect()
+    assert key(again) == key(out)
+    other = shard_assign(docs, "doc_id", 4, salt="s2").collect()
+    assert key(other) != key(out)

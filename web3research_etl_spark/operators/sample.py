@@ -58,3 +58,40 @@ def stratified_topk(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard0",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training
+    export's order-randomization step. Each row gets:
+
+    - ``shard``  = md5-int60(salt:key) mod n_shards — balanced (hash
+      uniformity), stable under any partitioning/retry/cluster size;
+    - ``pos``    = its rank within the shard by a SECOND keyed hash
+      (ties broken by key) — a reproducible random reading order.
+
+    Together (shard, pos) define one global pseudorandom permutation of
+    the corpus, chunked into ``n_shards`` sequential streams. Changing
+    ``salt`` reshuffles; the same salt replays identically on any
+    engine (md5-int60 is bit-identical in DuckDB — oracle-able).
+
+    Scale shape: ONE shuffle, on ``shard`` (the window's partition key)
+    — at export time the writer consumes this exact partitioning, one
+    task per shard writing rows in ``pos`` order. No global sort: the
+    permutation is global but materialized per-shard, which is the only
+    order a sharded reader observes anyway.
+    """
+    shard = F.pmod(_sample_hash(key_col, salt), F.lit(n_shards))
+    order_h = _sample_hash(key_col, f"{salt}:order")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_order_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(key_col, shard.alias("shard"), order_h.alias("_order_h"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_order_h")
+    )
