@@ -1205,7 +1205,9 @@ def q_doc_shard_assign(spark, sf_dir):
     sample.py:shard_assign): shard = keyed-hash mod 8, pos = hash-rank
     within shard — one global pseudorandom permutation of the corpus,
     materialized per shard (ONE shuffle, no global sort), bit-identical
-    on any cluster size/partitioning/engine."""
+    on any cluster size/partitioning/engine. Payload columns ride
+    through: the export writer consumes (shard, pos, payload) directly,
+    no join-back."""
     from web3research_etl_spark.operators.sample import shard_assign
 
     return shard_assign(_t(spark, sf_dir, "documents"), "doc_id", 8, salt="ep0")
@@ -2285,7 +2287,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         """,
         "doc_shard_assign": f"""
-            SELECT doc_id,
+            SELECT doc_id, text, lang, source, n_chars,
                    {_H60.format(x="concat_ws(':', 'ep0', CAST(doc_id AS VARCHAR))")} % 8
                      AS shard,
                    CAST(row_number() OVER (

@@ -543,3 +543,22 @@ def test_shard_assign_is_deterministic_permutation(spark, docs):
     assert key(again) == key(out)
     other = shard_assign(docs, "doc_id", 4, salt="s2").collect()
     assert key(other) != key(out)
+
+    # payload columns ride through (the export writer consumes them in
+    # shard order — no join-back needed)
+    assert set(shard_assign(docs, "doc_id", 4).columns) == set(
+        docs.columns + ["shard", "pos"]
+    )
+
+
+def test_shard_assign_check_unique_raises_on_dup_keys(spark, docs):
+    from web3research_etl_spark.operators.sample import shard_assign
+
+    dup = docs.unionByName(docs.limit(1))
+    import pytest
+
+    with pytest.raises(ValueError, match="not unique"):
+        shard_assign(dup, "doc_id", 4, check_unique=True)
+    # clean input passes the check and returns the same assignment
+    ok = shard_assign(docs, "doc_id", 4, check_unique=True)
+    assert ok.count() == docs.count()

@@ -61,6 +61,13 @@ def _common(sub: argparse.ArgumentParser) -> None:
         "compaction folds a bucket (default 2 = any multi-group bucket; "
         "raise under --write-mode mor to amortize rewrites)",
     )
+
+def _write_mode_flag(sub: argparse.ArgumentParser) -> None:
+    # only on the subcommands that WRITE through merge_changelog
+    # (init/sync) — check's heal is CoW by contract and replay/changes
+    # don't merge, so offering the knob there would be a no-op flag
+    # (ADVICE r03: flag ignored + env fatal made heal's effective write
+    # mode surprising)
     sub.add_argument(
         "--write-mode",
         default=None,
@@ -156,6 +163,7 @@ def build_parser() -> argparse.ArgumentParser:
     _common(init)
     init.add_argument("--batch-files", type=int, default=None, help="maxFilesPerTrigger")
     init.add_argument("--checkpoint", default=None)
+    _write_mode_flag(init)
     _dedup_flag(init)
     _feed_flags(init)
     _view_flags(init)
@@ -166,6 +174,7 @@ def build_parser() -> argparse.ArgumentParser:
     sync.add_argument("--checkpoint", required=True)
     sync.add_argument("--trigger", default="5 seconds")
     sync.add_argument("--batch-files", type=int, default=None)
+    _write_mode_flag(sync)
     _dedup_flag(sync)
     _feed_flags(sync)
     _view_flags(sync)

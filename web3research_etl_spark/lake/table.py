@@ -967,7 +967,14 @@ class LakeTable:
             unioned = unioned.unionByName(p)
         from web3research_etl_spark.operators.lww import lww_dedup_agg
 
-        resolved = lww_dedup_agg(unioned, key, vorder + ["_seq"]).drop("_seq")
+        # materialize_best: the resolve's skinny phase-1 aggregate has
+        # two consumers (clean winners + tie set); this read is handed
+        # to arbitrary downstream plans, so no caller owns an unpersist
+        # — the lazy-checkpoint cut computes the multi-generation
+        # scan+agg ONCE on the first action instead of twice per read.
+        resolved = lww_dedup_agg(
+            unioned, key, vorder + ["_seq"], materialize_best=True
+        ).drop("_seq")
         if not include_deleted:
             resolved = resolved.filter(~F.col(_DELETED_COL)).drop(_DELETED_COL)
         if not plain:

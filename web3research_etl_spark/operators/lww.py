@@ -64,6 +64,7 @@ def lww_dedup_agg(
     version_order: list[str],
     winner_join: str = "shuffle_hash",
     persist_tracker: list | None = None,
+    materialize_best: bool = False,
 ) -> DataFrame:
     """Two-phase LWW dedup; see module docstring.
 
@@ -79,6 +80,15 @@ def lww_dedup_agg(
     full scan+agg) and appended to the list; the CALLER unpersists
     after its terminal action. ~70 bytes/key, nothing like the payload
     caches this engine deliberately avoids.
+
+    materialize_best: same double-consumer problem, solved without an
+    unpersist obligation — the skinny aggregate is lazily cut via
+    checkpoint.materialize(eager=False) (localCheckpoint, or a durable
+    checkpoint under W3R_CHECKPOINT_DIR), so it computes once on the
+    caller's first action and both consumers read the stored copy.
+    For call sites that hand the returned frame to arbitrary downstream
+    readers (the MoR resolved read) where no caller owns a terminal
+    action to unpersist after.
     """
     vcols = [F.col(c) for c in version_order]
     join_cols = key + version_order
@@ -110,6 +120,10 @@ def lww_dedup_agg(
 
         best = best.persist(StorageLevel.MEMORY_AND_DISK)
         persist_tracker.append(best)
+    elif materialize_best:
+        from web3research_etl_spark.checkpoint import materialize
+
+        best = materialize(best, eager=False)
     clean = best.filter(F.col(_N_COL) == 1).drop(_N_COL)
     ties = best.filter(F.col(_N_COL) > 1).drop(_N_COL)
 

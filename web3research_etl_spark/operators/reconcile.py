@@ -194,5 +194,11 @@ def heal(
 
     fixes = materialize(fixes)
     # force_replace: the changelog is the source of truth even when the
-    # stored version is numerically newer (reorg semantics)
-    return table.merge_changelog(fixes, epoch_id=epoch_id, force_replace=True)
+    # stored version is numerically newer (reorg semantics). Healing is
+    # CoW by contract — force_replace must rewrite the stored losers, a
+    # read-free MoR delta can't — so write_mode is pinned here rather
+    # than inherited from WEB3R_WRITE_MODE (a MoR deployment would
+    # otherwise turn every heal into a ValueError).
+    return table.merge_changelog(
+        fixes, epoch_id=epoch_id, force_replace=True, write_mode="cow"
+    )

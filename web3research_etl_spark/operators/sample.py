@@ -65,9 +65,12 @@ def shard_assign(
     key_col: str,
     n_shards: int,
     salt: str = "shard0",
+    check_unique: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the training
-    export's order-randomization step. Each row gets:
+    export's order-randomization step. Every input column is carried
+    through (the export writer needs the payload in shard order, so the
+    one shuffle this costs is the export's own); each row gains:
 
     - ``shard``  = md5-int60(salt:key) mod n_shards — balanced (hash
       uniformity), stable under any partitioning/retry/cluster size;
@@ -84,14 +87,37 @@ def shard_assign(
     task per shard writing rows in ``pos`` order. No global sort: the
     permutation is global but materialized per-shard, which is the only
     order a sharded reader observes anyway.
+
+    Precondition: ``key_col`` values must be unique — both the shard
+    and the order hash are pure functions of the key, so duplicate keys
+    land at the same (shard, order-hash) and their relative ``pos`` is
+    broken only by the key tie-break, i.e. arbitrarily. Dedup first
+    (operators/dedup) — that's the curation pipeline's job anyway.
+    ``check_unique=True`` verifies the precondition with one extra
+    count job (eager; off the hot path by default) and raises listing
+    an offending key.
     """
+    if check_unique:
+        dup = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"shard_assign: key_col {key_col!r} is not unique "
+                f"(e.g. {dup[0][key_col]!r} appears {dup[0]['_n']}×); "
+                "dedup before sharding"
+            )
     shard = F.pmod(_sample_hash(key_col, salt), F.lit(n_shards))
     order_h = _sample_hash(key_col, f"{salt}:order")
     w = Window.partitionBy("shard").orderBy(
         F.col("_order_h").asc(), F.col(key_col).asc()
     )
     return (
-        df.select(key_col, shard.alias("shard"), order_h.alias("_order_h"))
+        df.select(*df.columns, shard.alias("shard"), order_h.alias("_order_h"))
         .withColumn("pos", F.row_number().over(w))
         .drop("_order_h")
     )
