@@ -1,20 +1,35 @@
 """Benchmark harness.
 
-Prints ONE JSON line:
+Prints the cumulative result as ONE JSON line AFTER EVERY COMPLETED
+MILESTONE (each scaling leg, each query timing, each compare) — the
+LAST parseable stdout line is always the best-so-far artifact, so a
+harness that kills the process at its own deadline still records
+everything finished up to that point. (VERDICT r03 missing #1/#4: a
+single end-of-run print zeroed the whole round-3 artifact when the
+driver's timeout hit first.) The final line carries "partial": false.
+
+Shape:
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
-   "cdc": {"events": N, "events_per_sec_N": ..., "events_per_sec_4N": ...,
-           "scaling_efficiency": ...}}
+   "cdc": {"events": N, "pair": [N, 4N], "scaling_efficiency": ...,
+           "write_mode_compare": {...}, "bloom_probe": {...}},
+   "partial": true|false}
 
-Two parts:
-1. query latencies for the headline __spark_entry__ queries at
-   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-   local[$SPARK_GRAFT_CPUS];
-2. the north-star CDC apply throughput (changelog → converged lake
+Parts, in MANDATORY-FIRST order against one hard deadline
+(BENCH_TIME_BUDGET_SEC, default 2700 s TOTAL — the driver's window is
+larger; staying well inside it is the point):
+1. the north-star CDC apply throughput (changelog → converged lake
    state via Structured Streaming foreachBatch) measured at TWO
-   parallelism levels — local[N/4] and local[N] — on the SAME input,
+   parallelism levels — local[N] and local[4N] — on the SAME input,
    the sandbox evidence for the N-vs-4N scaling-efficiency rule
    (BASELINE.json). Also appended to BENCH.md.
+2. query latencies for the headline __spark_entry__ queries at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+   local[$SPARK_GRAFT_CPUS];
+3. strictly-remaining-budget extras, in value order: the CoW-vs-MoR
+   write-amplification compare with the stats-only vs stats+bloom
+   point-lookup probe riding the MoR leg's table, then the
+   corroboration scaling pair.
 """
 
 from __future__ import annotations
@@ -34,11 +49,20 @@ CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
 # ~40 paragraphs ≈ 4 KB html per page — Common-Crawl-ish payload weight
 BODY_PARAS = int(os.environ.get("BENCH_BODY_PARAS", "40"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+# 2 interleaved pairs minimum (was 3): the adaptive loop tops up on its
+# own when the window is dirty, and the round-3 driver timeout proved
+# the fixed floor was the bigger risk than one fewer clean draw
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "7"))
-# wall-clock budget for the adaptive scaling loop (the whole bench ran
-# ~56 min in round 1 under the driver without complaint)
-TIME_BUDGET_SEC = int(os.environ.get("BENCH_TIME_BUDGET_SEC", "4200"))
+# ONE wall-clock budget for the WHOLE bench (generation + scaling +
+# queries + extras). Round 3's 4200 s scaling-only budget let the total
+# overrun the driver's window and zeroed the artifact (rc 124); 2700 s
+# total sits ~700 s inside the smallest window that has ever passed
+# (round 2 recorded rc 0 at 3428.9 s).
+TIME_BUDGET_SEC = int(os.environ.get("BENCH_TIME_BUDGET_SEC", "2700"))
+# reserved out of the budget for the query stage when sizing the
+# scaling stage's deadline (measured: 3 interleaved rounds ≈ 550 s)
+QUERY_RESERVE_SEC = int(os.environ.get("BENCH_QUERY_RESERVE_SEC", "700"))
 SCALE_SMALL = int(os.environ.get("BENCH_SCALE_SMALL", "1"))
 SCALE_BIG = int(os.environ.get("BENCH_SCALE_BIG", "4"))
 # corroboration pair (VERDICT r01: "also report the 2→8 pair"); "" skips
@@ -104,6 +128,7 @@ def bench_cdc_subprocess(
     n_events: int,
     write_mode: str | None = None,
     max_files_per_trigger: int = 32,
+    bloom_probe: bool = False,
 ) -> dict:
     """Run one scale point in a FRESH process: stopping/recreating
     SparkContexts in-process leaks Python-accumulator state between JVMs
@@ -116,7 +141,8 @@ def bench_cdc_subprocess(
         "import json, bench;"
         f"print('CDCRESULT ' + json.dumps(bench.bench_cdc("
         f"{cpus}, {changelog_dir!r}, {n_events}, write_mode={write_mode!r}, "
-        f"max_files_per_trigger={max_files_per_trigger})))"
+        f"max_files_per_trigger={max_files_per_trigger}, "
+        f"bloom_probe={bloom_probe})))"
     )
     env = {**os.environ}
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # cached batches are GBs
@@ -136,7 +162,9 @@ def bench_cdc_subprocess(
     )
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+def bench_queries(
+    spark, deadline: float | None = None, on_round=None
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Interleaved repeats, per-query minimum.
 
     The full query list runs QUERY_REPEATS times in round-robin order
@@ -145,17 +173,28 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     the headline per query is the minimum across rounds (noise is
     one-sided: steal only ADDS time), with every round recorded in the
     JSON. Round 1 additionally absorbs JIT/codegen warm-up, which the
-    min then discards."""
+    min then discards.
+
+    ``on_round(mins, reps)`` fires after every COMPLETED round so the
+    caller can flush a partial artifact; a further round starts only if
+    ``deadline`` leaves room for it (estimated from the last round's
+    measured wall time — round 1 always runs)."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     reps: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _round in range(max(QUERY_REPEATS, 1)):
+        t_round = time.time()
         for name in BENCH_QUERIES:
             fn = qs[name]
             t0 = time.time()
             fn(spark, SF_DIR).count()
             reps[name].append(round(time.time() - t0, 3))
+        if on_round is not None:
+            on_round({n: min(v) for n, v in reps.items()}, reps)
+        round_sec = time.time() - t_round
+        if deadline is not None and time.time() + round_sec > deadline:
+            break
     return {name: min(v) for name, v in reps.items()}, reps
 
 
@@ -165,6 +204,7 @@ def bench_cdc(
     n_events: int,
     write_mode: str | None = None,
     max_files_per_trigger: int = 32,
+    bloom_probe: bool = False,
 ) -> dict:
     """Apply the full changelog through the streaming pipeline into a
     fresh lake table; wall-clock excludes generation, includes all
@@ -174,7 +214,13 @@ def bench_cdc(
     input, same convergence contract (row count asserted equal), but
     each epoch appends O(batch) delta groups instead of rewriting every
     touched bucket. ``data_bytes_written`` / ``data_files_written``
-    quantify the write-amplification difference directly."""
+    quantify the write-amplification difference directly.
+
+    ``bloom_probe`` measures point-lookup latency on the converged table
+    with stats-only pruning vs stats+Bloom sidecars (the third pruning
+    level — VERDICT r03 next #5: measured, not asserted). Most telling
+    on the MoR leg, whose many uncompacted delta generations have
+    overlapping leading-key ranges that [min,max] stats cannot prune."""
     from web3research_etl_spark.lake.table import LakeTable
     from web3research_etl_spark.schemas import PAGES_KEY, PAGES_SCHEMA, PAGES_VERSION_ORDER
     from web3research_etl_spark.streaming.pipeline import run_sync
@@ -241,6 +287,9 @@ def bench_cdc(
             if fn.endswith(".parquet"):
                 data_bytes += os.path.getsize(os.path.join(root, fn))
                 data_files += 1
+    probe = None
+    if bloom_probe:
+        probe = _bloom_probe(table)
     shutil.rmtree(work, ignore_errors=True)
     # Steady-state throughput: drop the FIRST epoch (JVM JIT + Python
     # worker spawn + codegen warm-up — one-time costs that are 0.01% of
@@ -250,7 +299,7 @@ def bench_cdc(
     steady = batch_ms[1:] if len(batch_ms) > 1 else batch_ms
     ev_per_epoch = n_events / max(len(batch_ms), 1)
     steady_eps = ev_per_epoch * len(steady) / (sum(steady) / 1000.0)
-    return {
+    out = {
         "cpus": cpus,
         "write_mode": write_mode or "cow",
         "wall_sec": round(dt, 3),
@@ -262,18 +311,80 @@ def bench_cdc(
         "data_bytes_written": data_bytes,
         "data_files_written": data_files,
     }
+    if probe is not None:
+        out["bloom_probe"] = probe
+    return out
+
+
+def _bloom_probe(table) -> dict:
+    """Stats-only vs stats+Bloom point-lookup latency on the live table.
+
+    Method: one discarded cold lookup warms parquet footers / OS page
+    cache (warming biases AGAINST blooms — a warm cache is exactly when
+    stats-only re-reads cost least), then the SAME key sets are timed
+    under stats-only pruning, ``build_blooms()`` runs, and the sets are
+    timed again — now with per-file Bloom pruning stacked on. Present
+    keys measure the multi-generation-overlap case; absent keys the
+    pure-negative case where a Bloom can prune every file."""
+    import pyspark.sql.functions as F
+
+    present = [
+        r["url"]
+        for r in table.read().select("url").orderBy(F.xxhash64("url")).limit(6).collect()
+    ]
+    absent = [f"https://bench-absent-{i}.invalid/x" for i in range(6)]
+
+    def t_lookup(keys: list) -> float:
+        t0 = time.time()
+        table.read_for_keys(keys).count()
+        return round(time.time() - t0, 3)
+
+    t_lookup(present)  # cold — discarded (footer/page-cache warm-up)
+    out = {
+        "stats_only_present_sec": t_lookup(present),
+        "stats_only_absent_sec": t_lookup(absent),
+    }
+    t0 = time.time()
+    out["build_blooms"] = table.build_blooms()
+    out["build_blooms_sec"] = round(time.time() - t0, 3)
+    out["bloom_present_sec"] = t_lookup(present)
+    out["bloom_absent_sec"] = t_lookup(absent)
+    return out
 
 
 def main() -> None:
     t_start = time.time()
+    deadline = t_start + TIME_BUDGET_SEC
 
-    # --- part 1: query latencies at full parallelism
-    spark = _fresh_spark(CPUS, "bench-queries")
-    queries, query_repeats = bench_queries(spark)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    cdc: dict = {"events": CDC_EVENTS}
+    result: dict = {
+        "metric": "headline query latency + CDC apply throughput",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "stages_done": [],
+        "partial": True,
+    }
 
-    # --- generate the CDC input once (same files for both runs)
+    def emit(stage: str | None = None, final: bool = False) -> None:
+        """Flush the cumulative artifact NOW. Called after every
+        completed milestone so the last parseable stdout line always
+        carries everything finished so far (round 3's single end-of-run
+        print zeroed the whole artifact when the driver's timeout won
+        the race — VERDICT r03 missing #1/#4)."""
+        if stage:
+            result["stages_done"].append(stage)
+        result["partial"] = not final
+        result["total_bench_sec"] = round(time.time() - t_start, 1)
+        print(json.dumps(result), flush=True)
+
+    # --- stage 0: generate the CDC input once (same files for all runs)
     from web3research_etl_spark.changelog import write_changelog_dir
 
+    spark = _fresh_spark(CPUS, "bench-gen")
     gen_dir = tempfile.mkdtemp(prefix="bench_changelog_") + "/ch"
     # pages_per_domain scales with events so distinct keys ≈ 40% of the
     # event count (Common-Crawl-realistic: most change events hit distinct
@@ -284,40 +395,64 @@ def main() -> None:
         spark, gen_dir, CDC_EVENTS, files_per_batch=96,
         body_paragraphs=BODY_PARAS, pages_per_domain=max(200, CDC_EVENTS // 100),
     )
+    spark.stop()  # free the 32-thread JVM while subprocess legs run
+    emit("generate")
 
-    cdc: dict = {"events": CDC_EVENTS}
+    # --- stage 1 (MANDATORY FIRST — the north rule's evidence): the
+    # primary N-vs-4N scaling pair. local[1] vs local[4] (N and 4N
+    # CORES, per the sandbox-evidence rule). NOT 8-vs-32: this VM's 32
+    # "cores" do not deliver raw-CPU scaling past ~8 concurrent workers
+    # — a zero-coordination hashing probe (tools/cpu_ceiling.py)
+    # measures the machine's own parallel-speedup ceiling at ~0.65 for
+    # 8→32, ~0.87 for 2→8 and ~0.93 for 1→4, so wider pairs evidence
+    # the hypervisor's throttling, not the engine. The probe result for
+    # the pair actually used is reported alongside every run as
+    # `machine_cpu_scaling_ceiling`. (BENCH.md has the full curve.)
     if not SKIP_SCALING:
-        # N-vs-4N pair: local[1] vs local[4] (N and 4N CORES, per the
-        # sandbox-evidence rule). NOT 8-vs-32: this VM's 32 "cores" do
-        # not deliver raw-CPU scaling past ~8 concurrent workers — a
-        # zero-coordination hashing probe (tools/cpu_ceiling.py) measures
-        # the machine's own parallel-speedup ceiling at ~0.65 for 8→32,
-        # ~0.87 for 2→8 and ~0.93 for 1→4, so wider pairs evidence the
-        # hypervisor's throttling, not the engine. The probe result for
-        # the pair actually used is reported alongside every run as
-        # `machine_cpu_scaling_ceiling`. (BENCH.md has the full curve.)
         small = max(SCALE_SMALL, 1)
         big = max(SCALE_BIG, 2 * small)
         cdc.update(
-            _adaptive_scaling(small, big, gen_dir, t_start, primary=True)
-        )
-        # corroboration pair (e.g. 2→8): weaker machine ceiling but a
-        # non-degenerate small level with real coordination cost
-        if SECOND_PAIR and time.time() - t_start < TIME_BUDGET_SEC * 0.75:
-            s2, b2 = (int(x) for x in SECOND_PAIR.split(","))
-            cdc["corroboration_pair"] = _adaptive_scaling(
-                s2, b2, gen_dir, t_start, primary=False
+            _adaptive_scaling(
+                small, big, gen_dir,
+                deadline=deadline - QUERY_RESERVE_SEC,
+                primary=True,
+                on_update=lambda out: (cdc.update(out), emit())[0],
             )
+        )
+        emit("scaling_primary")
     else:
-        r_big = bench_cdc_subprocess(CPUS, gen_dir, CDC_EVENTS)
-        cdc[f"local[{CPUS}]"] = r_big
+        cdc[f"local[{CPUS}]"] = bench_cdc_subprocess(CPUS, gen_dir, CDC_EVENTS)
+        emit("cdc_single_level")
 
-    # --- write-mode comparison: same input, same converged state, CoW
+    # --- stage 2 (mandatory): query latencies at full parallelism,
+    # flushed after every completed round
+    spark = _fresh_spark(CPUS, "bench-queries")
+
+    def _on_round(mins: dict, reps: dict) -> None:
+        result["queries"] = mins
+        result["query_repeats"] = reps
+        result["value"] = round(sum(mins.values()), 3)
+        emit()
+
+    queries, _ = bench_queries(
+        spark, deadline=deadline - 120, on_round=_on_round
+    )
+    spark.stop()
+    result["stages_done"].append("queries")
+
+    # --- stage 3: strictly-remaining-budget extras, in value order.
+    # 3a: write-mode comparison: same input, same converged state, CoW
     # bucket-rewrite vs merge-on-read delta append. The MoR claim is a
     # WRITE-amplification claim, so the evidence is bytes/files written
-    # (and the throughput that follows), measured — not asserted.
-    if MOR_COMPARE and time.time() - t_start < TIME_BUDGET_SEC * 0.9:
-        big = max(SCALE_BIG, 2)
+    # (and the throughput that follows), measured — not asserted. The
+    # MoR leg also carries the stats-only vs stats+bloom lookup probe
+    # (its 12 uncompacted overlapping generations are the case range
+    # stats cannot prune). Cost estimate: ~2.2× the primary big leg's
+    # measured wall (12 epochs vs 3, two runs, minus per-run overhead).
+    big = max(SCALE_BIG, 2)
+    big_leg = cdc.get(f"local[{big}]") or {}
+    mor_est = 2.2 * big_leg.get("wall_sec", 250.0) + 120
+    if MOR_COMPARE and time.time() + mor_est < deadline:
         # 12 small epochs (96 files ÷ 8) instead of the scaling run's 3:
         # write amplification is a per-epoch effect — CoW rewrites the
         # GROWING stored table every epoch, MoR writes only the batch —
@@ -325,12 +460,14 @@ def main() -> None:
         # accumulated state) is where the modes actually diverge.
         r_cow = bench_cdc_subprocess(
             big, gen_dir, CDC_EVENTS, write_mode="cow", max_files_per_trigger=8)
+        cdc["write_mode_compare"] = {"cow": r_cow}
+        emit("write_mode_cow")
         r_mor = bench_cdc_subprocess(
-            big, gen_dir, CDC_EVENTS, write_mode="mor", max_files_per_trigger=8)
+            big, gen_dir, CDC_EVENTS, write_mode="mor", max_files_per_trigger=8,
+            bloom_probe=True)
         assert r_cow["converged_rows"] == r_mor["converged_rows"], (
             "MoR diverged from CoW", r_cow["converged_rows"], r_mor["converged_rows"])
-        cdc["write_mode_compare"] = {
-            "cow": r_cow,
+        cdc["write_mode_compare"].update({
             "mor": r_mor,
             "bytes_written_ratio_cow_over_mor": round(
                 r_cow["data_bytes_written"] / max(r_mor["data_bytes_written"], 1), 3
@@ -338,26 +475,38 @@ def main() -> None:
             "throughput_ratio_mor_over_cow": round(
                 r_mor["events_per_sec"] / max(r_cow["events_per_sec"], 0.1), 3
             ),
-        }
+        })
+        emit("write_mode_mor_and_bloom_probe")
+
+    # 3b: corroboration pair (e.g. 2→8): weaker machine ceiling but a
+    # non-degenerate small level with real coordination cost. Cost
+    # estimate: 2 interleaved pairs at roughly primary-pair leg walls.
+    if SECOND_PAIR and not SKIP_SCALING:
+        small_leg = cdc.get(f"local[{max(SCALE_SMALL, 1)}]") or {}
+        pair_est = 2 * (
+            small_leg.get("wall_sec", 450.0) / 1.8
+            + big_leg.get("wall_sec", 250.0) / 1.5
+        ) + 120
+        if time.time() + pair_est < deadline:
+            s2, b2 = (int(x) for x in SECOND_PAIR.split(","))
+            cdc["corroboration_pair"] = _adaptive_scaling(
+                s2, b2, gen_dir, deadline=deadline, primary=False,
+                on_update=lambda out: (
+                    cdc.__setitem__("corroboration_pair", out), emit())[0],
+            )
+            emit("scaling_corroboration")
 
     shutil.rmtree(os.path.dirname(gen_dir), ignore_errors=True)
-
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    result = {
-        "metric": "headline query latency + CDC apply throughput",
-        "value": round(sum(queries.values()), 3),
-        "unit": "sec",
-        "queries": queries,
-        "query_repeats": query_repeats,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cdc": cdc,
-        "total_bench_sec": round(time.time() - t_start, 1),
-    }
-    print(json.dumps(result))
+    emit(final=True)
 
 
 def _adaptive_scaling(
-    small: int, big: int, gen_dir: str, t_start: float, primary: bool = True
+    small: int,
+    big: int,
+    gen_dir: str,
+    deadline: float,
+    primary: bool = True,
+    on_update=None,
 ) -> dict:
     """Interleaved repeats with per-epoch-minimum composition, extended
     ADAPTIVELY until the evidence is clean or the time budget runs out.
@@ -393,6 +542,13 @@ def _adaptive_scaling(
     remaining budget goes to big-side-only draws — roughly doubling the
     chances of one clean big observation per epoch instead of spending
     half the budget re-measuring a floor that is already flat.
+
+    ``deadline`` is an absolute wall-clock bound for THIS stage: unlike
+    round 3 the loop stops even before ``min_reps`` once the deadline
+    has passed, because a thin-but-present artifact beats a timed-out
+    one. ``on_update(out)`` fires with the currently-composed result
+    dict after every completed draw so the caller can flush a partial
+    artifact.
     """
     import statistics
 
@@ -404,9 +560,27 @@ def _adaptive_scaling(
     runs_big: list[dict] = []
     probes: list[float] = []
     r_small = r_big = None
-    eff = 0.0
+    eff = med_eff = 0.0
     prev_small_eps = None
     small_frozen = False
+
+    def _mk_out() -> dict:
+        ceiling = probes[-1] if probes else 0.0
+        return {
+            "pair": [small, big],
+            f"local[{small}]": r_small,
+            f"local[{big}]": r_big,
+            "scaling_efficiency": round(eff, 3),
+            "median_scaling_efficiency": round(med_eff, 3),
+            "repeats_used": [len(runs_small), len(runs_big)],
+            "machine_cpu_scaling_ceiling": ceiling,
+            "machine_probe_history": probes,
+            "probe_median": round(statistics.median(probes), 3) if probes else None,
+            "efficiency_vs_machine_ceiling": round(min(eff / ceiling, 1.5), 3)
+            if ceiling
+            else None,
+        }
+
     while True:
         if not small_frozen:
             runs_small.append(bench_cdc_subprocess(small, gen_dir, CDC_EVENTS))
@@ -417,21 +591,25 @@ def _adaptive_scaling(
         eff = (
             r_big["steady_events_per_sec"] / r_small["steady_events_per_sec"]
         ) / (big / small)
-        med_eff_now = (
+        med_eff = (
             r_big["median_steady_events_per_sec"]
             / r_small["median_steady_events_per_sec"]
         ) / (big / small)
+        if on_update is not None:
+            on_update(_mk_out())
+        over_deadline = time.time() > deadline
         if len(runs_big) >= min_reps:
             probe_sane = PROBE_MIN <= probes[-1] <= PROBE_MAX
             # composition-independent green: BOTH the min- and the
             # median-composed efficiency must clear the bar in a window
             # whose probe is sane (VERDICT r02 next #2)
-            if eff >= EFF_STOP and med_eff_now >= MED_STOP and probe_sane:
+            if eff >= EFF_STOP and med_eff >= MED_STOP and probe_sane:
                 break
-            if time.time() - t_start > TIME_BUDGET_SEC:
+            if over_deadline or len(runs_big) >= max_big:
                 break
-            if len(runs_big) >= max_big:
-                break
+        elif over_deadline:
+            # thin evidence beats a timed-out artifact (r3's rc 124)
+            break
         if (
             not small_frozen
             and len(runs_small) >= min_reps
@@ -440,27 +618,9 @@ def _adaptive_scaling(
         ):
             small_frozen = True
         prev_small_eps = r_small["steady_events_per_sec"]
-    med_eff = (
-        r_big["median_steady_events_per_sec"]
-        / r_small["median_steady_events_per_sec"]
-    ) / (big / small)
     ceiling = probes[-1]
-    out = {
-        "pair": [small, big],
-        f"local[{small}]": r_small,
-        f"local[{big}]": r_big,
-        "scaling_efficiency": round(eff, 3),
-        "median_scaling_efficiency": round(med_eff, 3),
-        "repeats_used": [len(runs_small), len(runs_big)],
-        "machine_cpu_scaling_ceiling": ceiling,
-        "machine_probe_history": probes,
-        "probe_median": round(statistics.median(probes), 3),
-        "efficiency_vs_machine_ceiling": round(min(eff / ceiling, 1.5), 3)
-        if ceiling
-        else None,
-    }
     _append_bench_md(r_small, r_big, eff, ceiling, probes=probes, primary=primary)
-    return out
+    return _mk_out()
 
 
 def _compose_min_epochs(runs: list[dict], n_events: int) -> dict:

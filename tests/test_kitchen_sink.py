@@ -103,3 +103,77 @@ def test_mor_feed_view_maintenance_braid(spark, tmp_table_dir):
         for r in mor.read_for_keys(urls).select("url", "event_seq").collect()
     }
     assert got_pl == expect
+
+
+def test_feed_retention_in_stream_consumer_survives(spark, tmp_table_dir):
+    """sync --feed --maintain-every N --maintain-expire-feed bounds BOTH
+    snapshot history and the feed directory in-stream, and a consumer
+    whose checkpoint keeps up with table retention (the documented feed
+    contract) still converges:
+
+    phase 1 — sync the first half of the changelog with --feed; the
+    consumer drains every published dir. phase 2 — sync the rest with
+    in-stream maintenance + feed expiry sized so the PRUNED dirs are all
+    phase-1 dirs (already consumed); the consumer then drains only the
+    surviving new dirs. The feed-built mirror must equal the base, and
+    pruning must actually have happened.
+    """
+    from web3research_etl_spark.changelog import generate_changelog
+
+    ch = generate_changelog(spark, 4000).cache()
+    try:
+        src1 = os.path.join(tmp_table_dir, "ch1")
+        src2 = os.path.join(tmp_table_dir, "ch2")
+        ch.filter(F.col("event_seq") < 2000).repartition(8).write.parquet(src1)
+        ch.filter(F.col("event_seq") >= 2000).repartition(8).write.parquet(src2)
+
+        base = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, "base"), PAGES_SCHEMA,
+            key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+        )
+        feed = os.path.join(tmp_table_dir, "feed")
+        mirror = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, "mirror"), PAGES_SCHEMA,
+            key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+        )
+
+        def drain(consumed: set, epoch0: int) -> int:
+            schema = feed_schema(base, payloads=True, out_dir=feed)
+            e = epoch0
+            for sdir in sorted(glob.glob(f"{feed}/s*"),
+                               key=lambda p: int(os.path.basename(p)[1:])):
+                if sdir in consumed:
+                    continue
+                apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=e)
+                consumed.add(sdir)
+                e += 1
+            return e
+
+        # phase 1: publish-only sync (many small epochs → many feed dirs)
+        run_sync(
+            spark, src1, base, os.path.join(tmp_table_dir, "ck1"),
+            available_now=True, max_files_per_trigger=1,
+            feed_dir=feed, feed_payloads=True,
+        ).awaitTermination()
+        consumed: set = set()
+        next_epoch = drain(consumed, 0)
+        phase1_dirs = set(glob.glob(f"{feed}/s*"))
+        assert len(phase1_dirs) >= 4
+
+        # phase 2: maintenance + feed expiry in-stream; retention large
+        # enough that only already-consumed phase-1 dirs fall below the
+        # feed floor (the consumer-lag sizing rule from the docstring)
+        run_sync(
+            spark, src2, base, os.path.join(tmp_table_dir, "ck2"),
+            available_now=True, max_files_per_trigger=1,
+            feed_dir=feed, feed_payloads=True,
+            maintain_every=2, maintain_retain_last=10,
+            maintain_expire_feed=True,
+        ).awaitTermination()
+        pruned = phase1_dirs - set(glob.glob(f"{feed}/s*"))
+        assert pruned, "feed expiry never pruned anything"
+        assert pruned <= consumed, "pruned a dir the consumer had not drained"
+        drain(consumed, next_epoch)
+        assert mirror.state_hash() == base.state_hash()
+    finally:
+        ch.unpersist()

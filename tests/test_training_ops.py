@@ -503,6 +503,64 @@ def test_incremental_dedup_is_cross_side_slice_of_global(spark, docs):
     assert inc_idx == inc
 
 
+def test_incremental_dedup_with_persisted_laketable_index(spark, docs, tmp_table_dir):
+    """The standing-ingest loop from dedup_against_corpus's docstring,
+    end-to-end with the band index PERSISTED as a LakeTable keyed by
+    (bucket, doc_id): each crawl's bands are appended to the index
+    table; the next crawl dedups against the index READ BACK FROM DISK
+    (corpus docs never re-banded) and must equal from-scratch banding of
+    the same corpus — over TWO update cycles, so an index built
+    incrementally equals one built in one shot (the determinism
+    minhash_band_buckets promises)."""
+    import pyspark.sql.types as T
+
+    from web3research_etl_spark.lake.table import LakeTable
+    from web3research_etl_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_band_buckets,
+    )
+
+    kw = dict(k=12, num_hashes=8, bands=4)
+    crawls = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)]
+    idx = LakeTable.create(
+        spark,
+        f"{tmp_table_dir}/band_index",
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("bucket", T.StringType()),
+            ]
+        ),
+        key=["bucket", "doc_id"],
+        n_buckets=8,
+    )
+    idx.append(minhash_band_buckets(crawls[0], **kw), epoch_id=0)
+
+    corpus = crawls[0]
+    total = 0
+    for n in (1, 2):
+        stored = LakeTable.load(spark, f"{tmp_table_dir}/band_index").read()
+        got = {
+            (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+            for r in dedup_against_corpus(
+                crawls[n], corpus, threshold=0.2, corpus_index=stored, **kw
+            ).collect()
+        }
+        want = {
+            (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+            for r in dedup_against_corpus(
+                crawls[n], corpus, threshold=0.2, **kw
+            ).collect()
+        }
+        assert got == want
+        total += len(got)
+        idx.append(minhash_band_buckets(crawls[n], **kw), epoch_id=n)
+        corpus = corpus.unionByName(crawls[n])
+    assert total > 0  # the loop actually found cross-crawl near-dups
+    # two appends + create → 3 snapshots; the index holds every band row
+    assert idx.read().count() == minhash_band_buckets(docs, **kw).count()
+
+
 def test_incremental_dedup_plan_is_equi_join_only(spark, docs):
     from web3research_etl_spark.operators.dedup import dedup_against_corpus
 

@@ -158,6 +158,15 @@ def build_parser() -> argparse.ArgumentParser:
             help="also build per-file key Bloom sidecars at each in-stream "
             "maintenance pass",
         )
+        p.add_argument(
+            "--maintain-expire-feed",
+            action="store_true",
+            help="with --feed: each in-stream maintenance pass also prunes "
+            "CDC-feed snapshot dirs older than the oldest retained table "
+            "snapshot, so a long-running sync bounds both snapshot history "
+            "and the feed directory (consumers' checkpoints must keep up "
+            "with table retention)",
+        )
 
     init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
     _common(init)
@@ -504,6 +513,7 @@ def main(argv: list[str] | None = None) -> int:
             maintain_retain_last=getattr(args, "maintain_retain", 8),
             maintain_blooms=getattr(args, "maintain_blooms", False),
             maintain_min_groups=getattr(args, "maintain_min_groups", 2),
+            maintain_expire_feed=getattr(args, "maintain_expire_feed", False),
             write_mode=getattr(args, "write_mode", None),
         )
         if args.cmd == "init":

@@ -16,11 +16,58 @@ processing-time triggers tail forever (`sync`).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from web3research_etl_spark.lake.table import LakeTable
 from web3research_etl_spark.operators.apply import apply_changelog_batch
 from web3research_etl_spark.schemas import CHANGELOG_SCHEMA
+
+# synthetic (out-of-band) epochs live at >= 1<<40 (LakeTable.
+# synthetic_epoch_id); streaming bases are computed over the range below
+_SYNTHETIC_FLOOR = 1 << 40
+
+
+def _epoch_base(table: LakeTable, checkpoint_dir: str) -> int:
+    """Per-query epoch-marker base, persisted INSIDE the checkpoint dir.
+
+    The sink's exactly-once markers are integers in the table's commit
+    summary; Structured Streaming's batch ids restart at 0 for every new
+    checkpoint. Marking raw batch ids therefore conflates "this query
+    re-delivered batch 7" (must skip) with "a NEW query's batch 7 against
+    a table some earlier query already filled" (must apply) — the latter
+    silently dropped the whole run (found by the feed-retention braid
+    test: phase-2 sync with a fresh checkpoint applied nothing).
+
+    The base is the same trick Delta's txn (appId, version) pair uses,
+    flattened to the integer markers this lake stores: marker =
+    base + batch_id, where base is allocated PAST every committed
+    streaming epoch when the checkpoint is first created, then pinned in
+    ``<checkpoint>/w3r_epoch_base.json``. A resume of the same
+    checkpoint reuses the pinned base, so batch re-delivery after a
+    crash still maps to the same marker and skips; a fresh checkpoint
+    gets a disjoint range, so its batches apply. Synthetic heal/replay
+    epochs (>= 1<<40) are excluded from the scan so one heal doesn't
+    catapult the base. Single live writer-query per table as ever —
+    concurrent base allocation is the multi-writer case OCC handles at
+    commit, not here.
+    """
+    marker = os.path.join(checkpoint_dir, "w3r_epoch_base.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(json.load(f)["base"])
+    streaming_epochs = [
+        e for e in table.committed_epochs() if e < _SYNTHETIC_FLOOR
+    ]
+    base = (max(streaming_epochs) + 1) if streaming_epochs else 0
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"base": base}, f)
+    os.replace(tmp, marker)
+    return base
 
 
 def stream_changelog(
@@ -62,6 +109,7 @@ def run_sync(
     maintain_retain_last: int = 8,
     maintain_blooms: bool = False,
     maintain_min_groups: int = 2,
+    maintain_expire_feed: bool = False,
     write_mode: str | None = None,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
@@ -115,6 +163,16 @@ def run_sync(
     cluster the same calls run out-of-band via ``maintain`` CLI under
     the lake's optimistic-concurrency commit (test_occ).
 
+    ``maintain_expire_feed`` (with ``feed_dir``) extends each
+    maintenance pass to the feed side: after snapshot expiry, CDC-feed
+    snapshot directories older than the table's oldest retained
+    snapshot are pruned (lake/cdc_feed.expire_feed) — so one
+    long-running ``sync --feed --maintain-every N`` bounds BOTH the
+    snapshot history and the feed directory without an operator cron.
+    Runs after expiry by construction: the feed floor IS the
+    post-expiry oldest snapshot, and publish-before-expire ordering
+    guarantees every pruned directory was already published.
+
     ``write_mode="mor"`` applies each epoch as merge-on-read delta
     file groups (O(batch) written per epoch, no stored-state read —
     see LakeTable.merge_changelog). Pair it with ``maintain_every``:
@@ -145,13 +203,14 @@ def run_sync(
         stream = dedup_within_watermark(stream, watermark=dedup_watermark)
 
     applied_since_maintain = 0
+    epoch_base = _epoch_base(table, checkpoint_dir)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal applied_since_maintain
         res = apply_changelog_batch(
             table,
             batch_df,
-            epoch_id=epoch_id,
+            epoch_id=epoch_base + epoch_id,
             ledger=ledger,
             registry=registry,
             salt_partitions=salt_partitions,
@@ -174,6 +233,10 @@ def run_sync(
                     min_groups=maintain_min_groups,
                 )
                 table.expire_snapshots(retain_last=maintain_retain_last)
+                if maintain_expire_feed and feed_dir is not None:
+                    from web3research_etl_spark.lake.cdc_feed import expire_feed
+
+                    expire_feed(table, feed_dir)
                 if maintain_blooms:
                     table.build_blooms()
 
