@@ -16,7 +16,7 @@ Shape:
    "partial": true|false}
 
 Parts, in MANDATORY-FIRST order against one hard deadline
-(BENCH_TIME_BUDGET_SEC, default 2700 s TOTAL — the driver's window is
+(BENCH_TIME_BUDGET_SEC, default 3000 s TOTAL — the driver's window is
 larger; staying well inside it is the point):
 1. the north-star CDC apply throughput (changelog → converged lake
    state via Structured Streaming foreachBatch) measured at TWO
@@ -56,10 +56,13 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "7"))
 # ONE wall-clock budget for the WHOLE bench (generation + scaling +
 # queries + extras). Round 3's 4200 s scaling-only budget let the total
-# overrun the driver's window and zeroed the artifact (rc 124); 2700 s
-# total sits ~700 s inside the smallest window that has ever passed
-# (round 2 recorded rc 0 at 3428.9 s).
-TIME_BUDGET_SEC = int(os.environ.get("BENCH_TIME_BUDGET_SEC", "2700"))
+# overrun the driver's window and zeroed the artifact (rc 124); 3000 s
+# sits ~430 s inside the smallest window that has ever passed (round 2
+# recorded rc 0 at 3428.9 s total), sized so a clean-window run fits
+# scaling + 3 query rounds + the write-mode compare. Every stage checks
+# the deadline before starting and the artifact is flushed per
+# milestone, so the worst overshoot is one in-flight stage.
+TIME_BUDGET_SEC = int(os.environ.get("BENCH_TIME_BUDGET_SEC", "3000"))
 # reserved out of the budget for the query stage when sizing the
 # scaling stage's deadline (measured: 3 interleaved rounds ≈ 550 s)
 QUERY_RESERVE_SEC = int(os.environ.get("BENCH_QUERY_RESERVE_SEC", "700"))
