@@ -379,6 +379,25 @@ def q_cdc_range_scan(spark, sf_dir):
     )
 
 
+def q_cdc_zorder_scan(spark, sf_dir):
+    """Secondary-column range scan served by Z-ORDER clustered file
+    stats (Iceberg/Delta OPTIMIZE ZORDER analog; the reference's
+    multi-column ClickHouse ORDER BY sparse index): after
+    rewrite_clustered(["value", "url"]) every bucket's files cover
+    disjoint z-bands, and read_for_column_range prunes files whose
+    per-column [min, max] manifest stats are disjoint from the range —
+    on a NON-key column, which leading-key stats can't serve. The
+    result is layout-independent (clustering is physical): oracle =
+    the LWW state filtered to the same inclusive value range."""
+    t, _, _ = _two_epoch_state_table(spark, sf_dir)
+    t.rewrite_clustered(["value", "url"], files_per_bucket=4)
+    return t.read_for_column_range("value", 25.0, 60.0).select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
 def q_cdc_tombstones(spark, sf_dir):
     """Keys whose LWW winner is a delete — the tombstone set."""
     ch = _events_changelog(spark, sf_dir)
@@ -1352,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_feed": q_cdc_feed,
         "cdc_ivm_event_type": q_cdc_ivm_event_type,
         "cdc_range_scan": q_cdc_range_scan,
+        "cdc_zorder_scan": q_cdc_zorder_scan,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
@@ -1360,7 +1380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_lookup": q_cdc_bloom_lookup,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
-        "revenue_by_nation": q_revenue_by_nation,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -1402,6 +1421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         # -- rotated out of the r4 window (driver-green r1–r3 on since-
         #    untouched code; still locally oracle-checked every round) --
+        # revenue_by_nation rotated out mid-r4 to make room for
+        # cdc_zorder_scan without evicting any never-certified query:
+        # it is the most-certified entry in the roster (green r1+r2+r3).
+        "revenue_by_nation": q_revenue_by_nation,
         "events_json_extract": q_events_json_extract,
         "topk_per_user": q_topk_per_user,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1752,6 +1775,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND op <> 'D'
               AND url >= 'https://site-1' AND url <= 'https://site-12/zzzz'
+        """,
+        "cdc_zorder_scan": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, round(value, 2) AS last_value
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+              AND value >= 25.0 AND value <= 60.0
         """,
         "fanout_merge_state": f"""
             WITH changelog AS ({_CHANGELOG_SQL}),

@@ -265,3 +265,16 @@ def test_cli_maintain_expire_and_orphans(spark, tmp_path):
     t2 = LakeTable.load(spark, f"{tmp_path}/t")
     assert t2.state_hash() == pre
     assert {0, 1, 2} <= t2.committed_epochs()
+
+    # z-order clustered rewrite through the CLI: physical-only (state
+    # hash unchanged), commits a "cluster" snapshot with per-column stats
+    out = _run_cli(
+        "maintain", "--table", f"{tmp_path}/t",
+        "--cluster-by", "event_seq,v", "--cluster-files-per-bucket", "2",
+    )
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["cluster"]["skipped"] is False
+    assert rep["cluster"]["cluster_by"] == ["event_seq", "v"]
+    t3 = LakeTable.load(spark, f"{tmp_path}/t")
+    assert t3.state_hash() == pre
+    assert t3.current_snapshot()["operation"] == "cluster"

@@ -17,10 +17,11 @@ GATE_WINDOW_SIZE = 50
 R4_WINDOW = {
     "cdc_lww_converged", "cdc_lww_agg", "cdc_merge_state", "cdc_mor_state",
     "fanout_merge_state", "cdc_time_travel", "cdc_changes_between",
-    "cdc_feed", "cdc_ivm_event_type", "cdc_range_scan", "cdc_tombstones",
+    "cdc_feed", "cdc_ivm_event_type", "cdc_range_scan", "cdc_zorder_scan",
+    "cdc_tombstones",
     "cdc_reconcile_status", "cdc_resume_offsets", "cdc_presence_probe",
     "cdc_point_lookup", "cdc_bloom_lookup", "events_sessionize",
-    "events_asof_join", "revenue_by_nation", "exact_dedup", "ngram_jaccard",
+    "events_asof_join", "exact_dedup", "ngram_jaccard",
     "minhash_signatures", "minhash_lsh_candidates", "ngram_jaccard_lsh",
     "simhash", "embedding_near_dups", "ann_brute_topk", "ann_ivf_topk",
     "ann_ivf_kmeans_topk", "ann_lsh_topk", "media_resize", "frame_sample",
@@ -34,7 +35,11 @@ R4_WINDOW = {
 
 # Rotated out for round 4: driver-green r1–r3 on code untouched since,
 # still oracle-checked locally every round (tools/oracle_check.py).
+# revenue_by_nation joined the tail mid-r4 (most-certified entry:
+# green r1+r2+r3) to admit the new cdc_zorder_scan without evicting
+# any never-certified query.
 ROTATED_OUT = {
+    "revenue_by_nation",
     "events_json_extract", "topk_per_user", "q1_pricing_summary",
     "rollup_sales", "cube_sales", "grouping_sets_sales",
     "event_value_percentiles", "distinct_users_per_type",

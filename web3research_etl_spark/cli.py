@@ -11,6 +11,7 @@ backfill), `sync` (unbounded tail), `check` (reconcile + heal). Ours:
         maintain --table DIR [--compact [--compact-min-groups G]]
                  [--vacuum-before TS] [--expire-keep N] [--remove-orphans]
                  [--rebucket N] [--expire-feed DIR] [--build-blooms]
+                 [--cluster-by COL[,COL...] [--cluster-files-per-bucket K]]
         gen   --out DIR --events N          (synthetic changelog fixture)
 
     All changelog-consuming commands accept ``--source-format wire`` to
@@ -290,6 +291,21 @@ def build_parser() -> argparse.ArgumentParser:
         "retained snapshot (consumers' checkpoints must be past them)",
     )
     maintain.add_argument(
+        "--cluster-by",
+        default=None,
+        metavar="COL[,COL...]",
+        help="z-order clustered rewrite: band each bucket's files by an "
+        "interleaved-bit z-value over these columns and record per-file "
+        "per-column [min,max] stats, so range scans on NON-key columns "
+        "prune files (Iceberg/Delta OPTIMIZE ZORDER analog)",
+    )
+    maintain.add_argument(
+        "--cluster-files-per-bucket",
+        type=int,
+        default=4,
+        help="target z-band file count per bucket for --cluster-by",
+    )
+    maintain.add_argument(
         "--build-blooms",
         action="store_true",
         help="write per-data-file key Bloom sidecars (point-lookup file "
@@ -412,6 +428,11 @@ def main(argv: list[str] | None = None) -> int:
             report["compact"] = table.rewrite_small_files(
                 target_min_files_per_bucket=max(1, args.compact_min_groups - 1),
                 min_groups=args.compact_min_groups,
+            )
+        if args.cluster_by:
+            report["cluster"] = table.rewrite_clustered(
+                [c.strip() for c in args.cluster_by.split(",") if c.strip()],
+                files_per_bucket=args.cluster_files_per_bucket,
             )
         if args.vacuum_before:
             report["vacuum"] = table.vacuum_tombstones(args.vacuum_before)

@@ -582,6 +582,9 @@ class LakeTable:
         schema: T.StructType,
         salt_partitions: int | None = None,
         pre_write_transform=None,
+        extra_shuffle_expr: F.Column | None = None,
+        n_partitions: int | None = None,
+        sort_exprs: list | None = None,
     ) -> dict[int, list[str]]:
         """Write df (must carry _bucket) partitioned by bucket; return
         {bucket: [relative paths]}. One shuffle, one job, all buckets.
@@ -615,9 +618,23 @@ class LakeTable:
                 F.col(_BUCKET_COL),
                 F.pmod(F.xxhash64(*key_cols), F.lit(salt_partitions)),
             )
+        elif extra_shuffle_expr is not None:
+            # clustered rewrite: shuffle by (bucket, z-band) so each
+            # bucket splits into ~files_per_bucket z-contiguous files;
+            # partitionBy(bucket) below re-collates per bucket. A hash
+            # collision merging two bands just yields one wider file —
+            # stats are read back from real footers, so pruning stays
+            # exact-conservative either way.
+            staged = staged.repartition(
+                n_partitions or snap["n_buckets"],
+                F.col(_BUCKET_COL),
+                extra_shuffle_expr,
+            )
         else:
             staged = staged.repartition(snap["n_buckets"], F.col(_BUCKET_COL))
-        staged = staged.sortWithinPartitions(*(snap["key"] or ordered[:1]))
+        staged = staged.sortWithinPartitions(
+            *(sort_exprs if sort_exprs is not None else (snap["key"] or ordered[:1]))
+        )
         if pre_write_transform is not None:
             # Expensive per-row compute (the HTML→text pandas UDF) runs
             # HERE — inside the write stage, after the bucket
@@ -648,7 +665,12 @@ class LakeTable:
                     by_bucket.setdefault(b, []).append(rel)
         return by_bucket
 
-    def _new_entries(self, by_bucket: dict[int, list[str]], snap: dict) -> list[dict]:
+    def _new_entries(
+        self,
+        by_bucket: dict[int, list[str]],
+        snap: dict,
+        stat_cols: list[str] | None = None,
+    ) -> list[dict]:
         """File-group entries for freshly written files, enriched with a
         per-file ``stats`` map: relative path → [min, max] of the
         LEADING key column, read from the parquet footers (no data
@@ -660,7 +682,13 @@ class LakeTable:
         a later column RENAME doesn't invalidate them because alter()
         remaps the key list and values are untouched. Entries written
         before this feature simply lack ``stats`` and are never
-        skipped."""
+        skipped.
+
+        ``stat_cols`` (the clustered-rewrite path) additionally records
+        ``col_stats``: path → {column: [min, max]} for each named
+        column, enabling file skipping on NON-key columns
+        (``read_for_column_range``). Columns whose footers can't prove
+        a bound are simply absent — absent means "never skip"."""
         key = snap["key"]
         out = []
         for b, ps in sorted(by_bucket.items()):
@@ -677,6 +705,18 @@ class LakeTable:
                         stats[p] = mm
                 if stats:
                     e["stats"] = stats
+            if stat_cols:
+                col_stats: dict[str, dict] = {}
+                for p in ps:
+                    per = {}
+                    for c in stat_cols:
+                        mm = _footer_min_max(os.path.join(self.path, p), c)
+                        if mm is not None:
+                            per[c] = mm
+                    if per:
+                        col_stats[p] = per
+                if col_stats:
+                    e["col_stats"] = col_stats
             out.append(e)
         return out
 
@@ -1332,6 +1372,96 @@ class LakeTable:
             df = df.filter(lead <= F.lit(upper))
         return df
 
+    def _prune_groups_for_column_range(
+        self, snap: dict, column: str, lower, upper
+    ) -> tuple[list[dict], int, int]:
+        """File-level pruning for a range predicate on ANY column with
+        recorded stats. Returns (groups, files_kept, files_total).
+
+        Stat sources, in order: the leading-key ``stats`` map (every
+        write records it) when ``column`` IS the leading key, else the
+        per-column ``col_stats`` map (recorded by ``rewrite_clustered``
+        for its clustered columns).
+
+        MoR safety: pruning by a NON-key column's value range is only
+        sound for single-generation buckets — dropping a file that
+        holds a key's out-of-range WINNER while keeping an in-range
+        LOSER in another generation would resurrect the loser through
+        LWW resolution. Buckets that carry delta groups therefore scan
+        in full and rely on the residual filter (leading-KEY pruning
+        doesn't have this hazard — all of a key's rows share the key
+        value, so no file holding an in-range key is ever dropped —
+        which is why ``read_for_key_range`` needs no such carve-out)."""
+        key = snap["key"]
+        is_lead = bool(key) and column == key[0]
+        delta_buckets = {
+            fg["bucket"] for fg in snap["file_groups"] if fg.get("delta")
+        }
+
+        def _overlaps(mm) -> bool:
+            lo, hi = mm
+            try:
+                if lower is not None and hi < lower:
+                    return False
+                if upper is not None and lo > upper:
+                    return False
+            except TypeError:
+                return True
+            return True
+
+        groups, kept_n, total_n = [], 0, 0
+        for fg in snap["file_groups"]:
+            total_n += len(fg["paths"])
+            if not is_lead and fg["bucket"] in delta_buckets:
+                kept_n += len(fg["paths"])
+                groups.append(fg)
+                continue
+            keep = []
+            for p in fg["paths"]:
+                mm = (
+                    (fg.get("stats") or {}).get(p)
+                    if is_lead
+                    else ((fg.get("col_stats") or {}).get(p) or {}).get(column)
+                )
+                if mm is None or _overlaps(mm):
+                    keep.append(p)
+            if keep:
+                kept_n += len(keep)
+                g = dict(fg)
+                g["paths"] = keep
+                groups.append(g)
+        return groups, kept_n, total_n
+
+    def read_for_column_range(
+        self, column: str, lower, upper, include_deleted: bool = False
+    ) -> DataFrame:
+        """Range scan on ANY column (inclusive bounds; None = open
+        side), served by per-file per-column manifest stats. On a table
+        clustered with ``rewrite_clustered([.., column, ..])`` each
+        bucket's files cover disjoint z-bands, so their per-column
+        [min, max] are narrow and a selective range reads a few files
+        per bucket instead of every file — the fourth pruning level on
+        top of bucket pruning, leading-key ranges, and Bloom sidecars
+        (SURVEY S9/S10; Iceberg's ZORDER file skipping, the reference's
+        multi-column ClickHouse ORDER BY sparse index). Conservative:
+        files without stats for ``column`` always scan, and the
+        residual filter applies regardless."""
+        snap = self.current_snapshot()
+        if column not in {f.name for f in self.schema(snap).fields}:
+            raise ValueError(f"no such column: {column}")
+        groups, _, _ = self._prune_groups_for_column_range(
+            snap, column, lower, upper
+        )
+        df = self._read_groups(snap, groups, include_deleted=include_deleted)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema(snap))
+        c = F.col(column)
+        if lower is not None:
+            df = df.filter(c >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(c <= F.lit(upper))
+        return df
+
     def build_blooms(
         self, m_bits: int = 1 << 16, k: int = 7, only_missing: bool = True
     ) -> dict:
@@ -1482,6 +1612,87 @@ class LakeTable:
             "skipped": False,
             "snapshot_id": new_id,
             "rewritten_buckets": sorted(fragmented),
+        }
+
+    def rewrite_clustered(
+        self,
+        columns: list[str],
+        files_per_bucket: int = 4,
+        bits: int = 8,
+        sample_rows: int = 8192,
+    ) -> dict:
+        """Z-order clustered compaction (Iceberg/Delta ``OPTIMIZE ...
+        ZORDER BY`` analog; the reference gets the same effect from
+        ClickHouse's multi-column ``ORDER BY`` sparse primary index,
+        src/ch_eth/init.rs table DDL): full rewrite that sorts/bands
+        rows within each bucket by an interleaved-bit z-value over
+        ``columns`` and records per-file [min, max] manifest stats for
+        each of them, so ``read_for_column_range`` prunes files on ANY
+        clustered column — not just the leading key.
+
+        Layout job anatomy (scale notes): one bounded sample pass for
+        code boundaries (collect ≤ ~8×sample_rows rows of just the
+        clustered columns), then ONE shuffle keyed (bucket, z-band)
+        into ``n_buckets × files_per_bucket`` writer tasks with an
+        in-partition z sort — the same single-shuffle shape as plain
+        compaction, just a different key. Like compact/vacuum it is a
+        full-rewrite op: concurrent writers conflict and re-run
+        (``_commit_data`` touched=None). Logical state is unchanged
+        (tombstones carried through; time travel to prior snapshots
+        intact). Trade-off: files are z-sorted, not key-sorted, so
+        leading-key ranges per file widen — point lookups keep bucket
+        pruning and Bloom sidecars, ranges on the leading key keep
+        working off the SAME recorded stats (the leading key
+        participates in ``col_stats`` too when listed in ``columns``).
+        """
+        from web3research_etl_spark.lake.zorder import (
+            compute_boundaries,
+            quantile_code_expr,
+            zvalue_expr,
+        )
+
+        snap = self.current_snapshot()
+        schema = self.schema(snap)
+        names = {f.name for f in schema.fields}
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(f"cluster columns not in schema: {missing}")
+        if not columns:
+            raise ValueError("rewrite_clustered needs at least one column")
+        rows = self._read_groups(snap, snap["file_groups"], include_deleted=True)
+        if rows is None:
+            return {"skipped": True, "reason": "empty table"}
+        bounds = compute_boundaries(
+            rows, list(columns), bits=bits, sample_rows=sample_rows
+        )
+        z = zvalue_expr(
+            [quantile_code_expr(c, bounds[c]) for c in columns], bits=bits
+        )
+        band_bits = max(1, (max(1, files_per_bucket) - 1).bit_length())
+        zbits = bits * len(columns)
+        band = F.shiftright(z, max(0, zbits - band_bits))
+        staged = rows.withColumn(
+            _BUCKET_COL, self._bucket_expr(snap) if snap["key"] else F.lit(0)
+        )
+        new_id = snap["snapshot_id"] + 1
+        by_b = self._write_data_files(
+            staged,
+            new_id,
+            schema,
+            extra_shuffle_expr=band,
+            n_partitions=snap["n_buckets"] * max(1, files_per_bucket),
+            sort_exprs=[z],
+        )
+        groups = self._new_entries(by_b, snap, stat_cols=list(columns))
+        self._commit_data(
+            snap, new_id, "cluster", groups, None,
+            {"cluster_by": list(columns)},
+        )
+        return {
+            "skipped": False,
+            "snapshot_id": new_id,
+            "cluster_by": list(columns),
+            "files": sum(len(g["paths"]) for g in groups),
         }
 
     def vacuum_tombstones(self, older_than_ts: str) -> dict:

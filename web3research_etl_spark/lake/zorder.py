@@ -1,0 +1,109 @@
+"""Z-order (Morton) clustering expressions for multi-column file skipping.
+
+The reference's ClickHouse tables get multi-column locality from the
+table-level ``ORDER BY (a, b, ...)`` sparse primary index (e.g.
+``src/ch_eth/init.rs`` ORDER BY clauses); a lexicographic sort only
+prunes on a leading-column prefix. Iceberg/Delta solve the same problem
+with OPTIMIZE ... ZORDER BY: interleave the bits of a per-column
+quantile code so that rows close in ANY clustered column land close in
+the sort, and per-file [min, max] stats become tight for EVERY
+clustered column at once. This module is the expression kernel — pure
+``pyspark.sql.functions`` bitwise ops, whole-stage-codegen'd JVM-side,
+no UDFs:
+
+1. per column, map values to a ``bits``-bit rank code via boundaries
+   taken from a bounded deterministic sample (works for strings and
+   numerics alike — ``approx_percentile`` can't rank strings);
+2. interleave the codes bit-by-bit into one z-value long;
+3. the caller sorts/bands by the z-value at write time and records
+   per-file per-column footer stats in the manifest
+   (``LakeTable.rewrite_clustered``).
+
+Nulls code to 0 (nulls-first, matching Spark's default sort), so a
+file holding nulls still records honest bounds for its non-null rows
+and pruning stays conservative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["compute_boundaries", "quantile_code_expr", "zvalue_expr"]
+
+# z-values live in a signed 64-bit long; keep a sign-bit margin
+_MAX_Z_BITS = 62
+
+
+def compute_boundaries(
+    df: DataFrame,
+    columns: list[str],
+    bits: int = 8,
+    sample_rows: int = 8192,
+    seed: int = 42,
+) -> dict[str, list]:
+    """Per-column code boundaries from ONE bounded sample pass.
+
+    Collects ≈``sample_rows`` rows of just the clustered columns
+    (column-pruned scan, driver memory O(sample_rows × len(columns)) —
+    a bounded collect, same class as the ANN centroid pulls) and takes
+    evenly spaced order statistics as the ``2**bits - 1`` boundaries.
+    Sampling quality only affects LAYOUT (how evenly files split), never
+    correctness: every value maps to SOME code and file stats are read
+    back from real footers. Boundaries are deduplicated, so heavily
+    skewed columns simply use fewer codes.
+    """
+    n_codes = 1 << bits
+    total = df.count()
+    if total == 0:
+        return {c: [] for c in columns}
+    frac = min(1.0, (4.0 * sample_rows) / total)
+    sample = df.select(*columns).sample(fraction=frac, seed=seed).limit(
+        8 * sample_rows
+    ).collect()
+    out: dict[str, list] = {}
+    for c in columns:
+        vals = sorted(r[c] for r in sample if r[c] is not None)
+        if not vals:
+            out[c] = []
+            continue
+        bnds = []
+        for i in range(1, n_codes):
+            v = vals[min(len(vals) - 1, (i * len(vals)) // n_codes)]
+            if not bnds or v != bnds[-1]:
+                bnds.append(v)
+        out[c] = bnds
+    return out
+
+
+def quantile_code_expr(column: str, boundaries: list) -> Column:
+    """``bits``-bit rank code for one column: the number of boundaries
+    ≤ the value, via a higher-order ``filter`` over a literal array —
+    JVM-side, no UDF, any orderable type. Null values (comparison is
+    null → element dropped) code to 0."""
+    if not boundaries:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= F.col(column))).cast("long")
+
+
+def zvalue_expr(codes: list[Column], bits: int = 8) -> Column:
+    """Interleave ``len(codes)`` codes of ``bits`` bits each into one
+    Morton z-value: output bit ``j*k + i`` is bit ``j`` of code ``i``
+    (column 0 owns the most significant bit of each round). Built as
+    ``bits × k`` shift/and/or terms — constant-folded into one
+    codegen'd expression."""
+    k = len(codes)
+    if k == 0:
+        raise ValueError("zvalue_expr needs at least one code column")
+    if bits * k > _MAX_Z_BITS:
+        raise ValueError(
+            f"z-value would need {bits * k} bits; max {_MAX_Z_BITS} "
+            f"(lower bits= or cluster fewer columns)"
+        )
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(codes):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + (k - 1 - i)))
+    return z
