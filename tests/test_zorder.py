@@ -75,10 +75,24 @@ def test_zvalue_rejects_overflow():
 def test_quantile_code_strings_and_nulls(spark):
     df = spark.createDataFrame(
         [("a",), ("m",), ("z",), (None,)], "s string"
-    ).withColumn("c", quantile_code_expr("s", ["b", "n"]))
+    ).withColumn("c", quantile_code_expr("s", ["b", "n"], bits=8))
     got = {r["s"]: r["c"] for r in df.collect()}
-    assert got["a"] == 0 and got["m"] == 1 and got["z"] == 2
+    # ranks 0,1,2 over 2 boundaries, left-scaled into [0, 255]:
+    # rank * 255 // 2 — order preserved, MSB informative (127 vs 255)
+    assert got["a"] == 0 and got["m"] == 127 and got["z"] == 255
     assert got[None] == 0  # nulls-first: code 0, never an error
+    assert got["a"] < got["m"] < got["z"]
+
+
+def test_quantile_code_low_cardinality_uses_high_bits(spark):
+    """A 2-distinct-value column must split on the code MSB — the bit
+    the z-band consumes first — not hide in the low bits."""
+    df = spark.createDataFrame([("en",), ("fr",)], "s string").withColumn(
+        "c", quantile_code_expr("s", ["fr"], bits=8)
+    )
+    got = {r["s"]: r["c"] for r in df.collect()}
+    assert got["en"] == 0 and got["fr"] == 255
+    assert (got["fr"] >> 7) != (got["en"] >> 7)
 
 
 def test_boundaries_dedup_on_skew(spark):
@@ -145,6 +159,29 @@ def test_cluster_requires_known_columns(spark, tmp_table_dir):
 
 
 # --------------------------------------------------------- MoR safety
+
+
+def test_cluster_after_mor_folds_deltas(spark, tmp_table_dir):
+    """rewrite_clustered reads through the MoR resolve, so clustering a
+    delta-heavy table also acts as a full compaction: afterwards no
+    bucket carries delta groups and value pruning is live everywhere."""
+    t = _table(spark, tmp_table_dir, n=1000, n_keys=100)
+    upd = spark.range(30).select(
+        F.concat(F.lit("https://site-"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1800000000)).alias("ts"),
+        (F.col("id") + 1_000_000).alias("event_id"),
+        (F.col("id").cast("double") + 0.25).alias("value"),
+        F.lit("U").alias("op"),
+    )
+    t.merge_changelog(upd, epoch_id=1, write_mode="mor")
+    h = t.state_hash()
+    t.rewrite_clustered(["value"], files_per_bucket=2)
+    snap = t.current_snapshot()
+    assert not any(g.get("delta") for g in snap["file_groups"])
+    assert t.state_hash() == h
+    # value pruning now applies to every bucket
+    _, kept, total = t._prune_groups_for_column_range(snap, "value", 5.0, 9.0)
+    assert kept < total
 
 
 def test_mor_delta_buckets_never_value_pruned(spark, tmp_table_dir):

@@ -1666,7 +1666,8 @@ class LakeTable:
             rows, list(columns), bits=bits, sample_rows=sample_rows
         )
         z = zvalue_expr(
-            [quantile_code_expr(c, bounds[c]) for c in columns], bits=bits
+            [quantile_code_expr(c, bounds[c], bits=bits) for c in columns],
+            bits=bits,
         )
         band_bits = max(1, (max(1, files_per_bucket) - 1).bit_length())
         zbits = bits * len(columns)

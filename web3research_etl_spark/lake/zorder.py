@@ -42,8 +42,12 @@ def compute_boundaries(
     sample_rows: int = 8192,
     seed: int = 42,
 ) -> dict[str, list]:
-    """Per-column code boundaries from ONE bounded sample pass.
+    """Per-column code boundaries from a bounded sample.
 
+    Two column-pruned jobs over the input (a count to size the sample
+    fraction, then the sampled collect); on a MoR-resolved read the
+    expensive resolve is computed once and checkpoint-cut
+    (``materialize_best``), so these don't re-pay it.
     Collects ≈``sample_rows`` rows of just the clustered columns
     (column-pruned scan, driver memory O(sample_rows × len(columns)) —
     a bounded collect, same class as the ANN centroid pulls) and takes
@@ -76,15 +80,31 @@ def compute_boundaries(
     return out
 
 
-def quantile_code_expr(column: str, boundaries: list) -> Column:
+def quantile_code_expr(column: str, boundaries: list, bits: int = 8) -> Column:
     """``bits``-bit rank code for one column: the number of boundaries
     ≤ the value, via a higher-order ``filter`` over a literal array —
     JVM-side, no UDF, any orderable type. Null values (comparison is
-    null → element dropped) code to 0."""
+    null → element dropped) code to 0.
+
+    The rank is LEFT-SCALED into the full ``[0, 2**bits - 1]`` range
+    (``rank * (2**bits - 1) // len(boundaries)``, order-preserving).
+    Without this a low-cardinality column (e.g. a language code with 5
+    distinct values → ≤4 deduped boundaries) only ever produces codes
+    0..4, so its HIGH bits are constant zero — and since the interleave
+    and the z-band split consume high bits first, the column would
+    contribute nothing to file banding while still diluting the other
+    columns' resolution. Scaled, every column's MSB splits its value
+    population roughly in half regardless of cardinality."""
     if not boundaries:
         return F.lit(0).cast("long")
     arr = F.array(*[F.lit(b) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: b <= F.col(column))).cast("long")
+    rank = F.size(F.filter(arr, lambda b: b <= F.col(column))).cast("long")
+    n_codes = 1 << bits
+    if len(boundaries) >= n_codes - 1:
+        return rank
+    return F.floor(rank * F.lit(n_codes - 1) / F.lit(len(boundaries))).cast(
+        "long"
+    )
 
 
 def zvalue_expr(codes: list[Column], bits: int = 8) -> Column:
