@@ -796,6 +796,39 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_keyword_search(spark, sf_dir):
+    """Conjunctive inverted-index search: docs containing ALL of three
+    whole tokens, with summed term frequency (operators/search.py —
+    scan-fused contains() pre-filter, explode only on candidates)."""
+    from web3research_etl_spark.operators.search import keyword_search
+
+    return keyword_search(
+        _t(spark, sf_dir, "documents"), ["merge", "spark", "window"]
+    )
+
+
+def q_doc_term_stats(spark, sf_dir):
+    """Per-token document/collection frequency (the inverted index's
+    df/cf statistics table), long tail bounded by min_df."""
+    from web3research_etl_spark.operators.search import term_stats
+
+    return term_stats(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch over event users
+    (operators/sketch.py): shuffles only per-partition-distinct 8-byte
+    hashes instead of every key — the 100-TB answer to "how many
+    distinct users/URLs". Estimate is deterministic (md5-int60 hash +
+    one IEEE-754 division), so it is hash-gated, not rows-only."""
+    from web3research_etl_spark.operators.sketch import kmv_distinct_estimate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key")
+    )
+    return kmv_distinct_estimate(ev, "user_key", k=512)
+
+
 def q_exact_dedup(spark, sf_dir):
     from web3research_etl_spark.operators.dedup import exact_dedup
 
@@ -1444,6 +1477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_rates": q_events_windowed_rates,
         "clickers_minus_buyers": q_clickers_minus_buyers,
         "media_metadata": q_media_metadata,
+        # -- new in round 4, registered at the TAIL so they cannot evict
+        #    any never-certified query from the gate window; rotate them
+        #    in next round (COVERAGE.md §gate-status) -------------------
+        "doc_keyword_search": q_doc_keyword_search,
+        "doc_term_stats": q_doc_term_stats,
+        "kmv_distinct_users": q_kmv_distinct_users,
     }
 
 
@@ -2533,5 +2572,56 @@ def oracle_sql() -> dict[str, str]:
               regexp_replace(after_phone, '{_PII_IPV4}', '<IP>', 'g')
                 AS scrubbed
             FROM r2
+        """,
+        # tokenization twin of operators/search.TOKEN_SPLIT_PATTERN —
+        # a bare character class, identical semantics in RE2 and Java
+        "doc_keyword_search": """
+            WITH cand AS (
+              SELECT doc_id, lower(text) AS lt FROM documents
+              WHERE contains(lower(text), 'merge')
+                AND contains(lower(text), 'spark')
+                AND contains(lower(text), 'window')),
+            tok0 AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lt, '[^a-z0-9]+')) AS token
+              FROM cand)
+            SELECT doc_id,
+                   count(DISTINCT token) AS n_terms_matched,
+                   count(*) AS tf_sum
+            FROM tok0
+            WHERE token IN ('merge', 'spark', 'window')
+            GROUP BY doc_id
+            HAVING count(DISTINCT token) = 3
+        """,
+        "doc_term_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS token
+              FROM documents)
+            SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM tok WHERE token <> ''
+            GROUP BY token HAVING count(DISTINCT doc_id) >= 5
+        """,
+        # KMV bottom-k sketch: hash = the md5-int60 trick; the estimator
+        # is one double division + round, deterministic IEEE-754 in both
+        # engines, so est_distinct hash-matches exactly
+        "kmv_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT
+                CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS h
+              FROM events),
+            bottom AS (SELECT h FROM h ORDER BY h LIMIT 512),
+            agg AS (SELECT count(*) AS k_used, max(h) AS kth_min_hash
+                    FROM bottom)
+            SELECT k_used, kth_min_hash,
+                   CASE WHEN k_used < 512 THEN k_used
+                        ELSE CAST(round((CAST(k_used AS DOUBLE) - 1)
+                                        * 1152921504606846976.0
+                                        / CAST(kth_min_hash AS DOUBLE))
+                                  AS BIGINT)
+                   END AS est_distinct
+            FROM agg
         """,
     }

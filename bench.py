@@ -275,6 +275,34 @@ def bench_cdc(
         version_order=PAGES_VERSION_ORDER,
         n_buckets=32,  # constant across scale runs — identical work plan
     )
+    # --- warm-up, OUTSIDE the measured window: a tiny two-epoch apply
+    # into a throwaway table runs the exact code paths the stream runs
+    # (touched probe, LWW agg codegen, Arrow/pandas extract workers,
+    # bucketed parquet write, footer stats, commit — epoch 2 merging
+    # against epoch 1's stored state, the steady shape) so JIT
+    # compilation, Python-worker spawn and shuffle init are paid BEFORE
+    # the clock starts. Without this those one-time costs land inside
+    # measured epoch 2 and are ~1/6 of a 30 s 4-core epoch but ~1/50 of
+    # a 100 s 1-core epoch — a parallelism-DEPENDENT bias (every repeat
+    # of the 2026-08-19 validation run showed epoch 2 running 25-150%
+    # over epoch 3 at local[4], while local[1] epochs 2 and 3 matched).
+    # At the 10^10-event target the same costs are 0.001% noise:
+    # excluding them measures the engine, not the JVM's first minute.
+    from web3research_etl_spark.changelog import generate_changelog
+    from web3research_etl_spark.operators.apply import apply_changelog_batch
+
+    warm_table = LakeTable.create(
+        spark, f"{work}/warm", PAGES_SCHEMA, key=PAGES_KEY,
+        version_order=PAGES_VERSION_ORDER, n_buckets=32,
+    )
+    warm = generate_changelog(
+        spark, 16000, body_paragraphs=BODY_PARAS, seed=7,
+    ).localCheckpoint()
+    apply_changelog_batch(warm_table, warm.where("pmod(event_seq, 2) = 0"), epoch_id=1)
+    apply_changelog_batch(warm_table, warm.where("pmod(event_seq, 2) = 1"), epoch_id=2)
+    warm.unpersist()
+    shutil.rmtree(f"{work}/warm", ignore_errors=True)
+
     t0 = time.time()
     q = run_sync(
         spark,

@@ -33,11 +33,15 @@ R4_WINDOW = {
     "doc_decontaminate", "doc_repetition_stats", "doc_pii_scrub",
 }
 
-# Rotated out for round 4: driver-green r1–r3 on code untouched since,
-# still oracle-checked locally every round (tools/oracle_check.py).
-# revenue_by_nation joined the tail mid-r4 (most-certified entry:
-# green r1+r2+r3) to admit the new cdc_zorder_scan without evicting
-# any never-certified query.
+# The registry tail (positions 51+): queries the r4 driver gate does
+# NOT run this round. Two kinds: (a) rotated out — driver-green r1–r3
+# on code untouched since (revenue_by_nation joined mid-r4, the
+# most-certified entry, to admit the new cdc_zorder_scan without
+# evicting any never-certified query); (b) NEW in round 4
+# (doc_keyword_search / doc_term_stats / kmv_distinct_users) —
+# registered at the tail deliberately so they cannot evict a
+# never-certified query, to rotate into the window next round. All are
+# oracle-checked locally every round (tools/oracle_check.py).
 ROTATED_OUT = {
     "revenue_by_nation",
     "events_json_extract", "topk_per_user", "q1_pricing_summary",
@@ -47,6 +51,7 @@ ROTATED_OUT = {
     "customers_without_orders", "parts_by_brand_broadcast",
     "doc_token_counts", "doc_quality", "doc_lang_id", "doc_fingerprint",
     "events_windowed_rates", "clickers_minus_buyers", "media_metadata",
+    "doc_keyword_search", "doc_term_stats", "kmv_distinct_users",
 }
 
 

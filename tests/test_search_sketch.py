@@ -1,0 +1,114 @@
+"""Inverted-index search (operators/search.py) and KMV distinct-count
+sketch (operators/sketch.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from web3research_etl_spark.operators.search import (
+    doc_tokens,
+    keyword_search,
+    postings,
+    term_stats,
+)
+from web3research_etl_spark.operators.sketch import (
+    kmv_bottom_hashes,
+    kmv_distinct_estimate,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the merge joins the spark window plan"),
+        (2, "merge merge spark"),                # tf: merge=2 spark=1, no window
+        (3, "window spark merge window"),        # all three, window tf=2
+        (4, "nothing relevant here"),
+        (5, "sparkly windows merged"),           # substrings only, NOT tokens
+        (6, "Merge SPARK Window"),               # case-folded match
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokenization_splits_on_non_alnum_and_drops_empties(spark):
+    df = spark.createDataFrame([(1, "A-b,,c  9x! ")], ["doc_id", "text"])
+    toks = [r.token for r in doc_tokens(df).collect()]
+    assert toks == ["a", "b", "c", "9x"]
+
+
+def test_keyword_search_whole_tokens_conjunctive(docs):
+    got = {
+        r.doc_id: (r.n_terms_matched, r.tf_sum)
+        for r in keyword_search(docs, ["merge", "spark", "window"]).collect()
+    }
+    # doc 1: one of each; doc 3: merge+spark+2×window; doc 6 case-folds.
+    # doc 2 lacks 'window'; doc 5 only has superstrings (sparkly/windows/
+    # merged) — the contains() pre-filter admits it, the token predicate
+    # must reject it.
+    assert got == {1: (3, 3), 3: (3, 4), 6: (3, 3)}
+
+
+def test_keyword_search_rejects_non_token_terms(docs):
+    with pytest.raises(ValueError):
+        keyword_search(docs, ["Spark"])
+
+
+def test_postings_and_term_stats(docs):
+    p = {(r.token, r.doc_id): r.tf for r in postings(docs).collect()}
+    assert p[("merge", 2)] == 2
+    assert p[("window", 3)] == 2
+    assert ("merge", 4) not in p
+    st = {r.token: (r.df, r.cf) for r in term_stats(docs, min_df=2).collect()}
+    # 'merge' appears in docs 1,2,3,6 (df=4) with 2 occurrences in doc 2
+    assert st["merge"] == (4, 5)
+    assert st["spark"] == (4, 4)
+    # df=1 tokens are below min_df
+    assert "nothing" not in st
+
+
+def test_kmv_exact_regime_below_k(spark):
+    # fewer distinct values than k: the synopsis IS the distinct set and
+    # the estimate must be the exact count
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 37).cast("string").alias("v")
+    )
+    row = kmv_distinct_estimate(df, "v", k=512).collect()[0]
+    assert (row.k_used, row.est_distinct) == (37, 37)
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    # 20k distinct keys, k=512 → relative standard error ≈ 1/sqrt(k-1)
+    # ≈ 4.4%; assert within 4 sigma, and that repeated evaluation over a
+    # different partitioning returns the identical estimate (the sketch
+    # is a pure function of the value SET)
+    n = 20000
+    df = spark.range(0, n * 3).select(
+        (F.col("id") % n).cast("string").alias("v")
+    )
+    est1 = kmv_distinct_estimate(df, "v", k=512).collect()[0]
+    est2 = kmv_distinct_estimate(df.repartition(13), "v", k=512).collect()[0]
+    assert est1 == est2
+    assert est1.k_used == 512
+    assert abs(est1.est_distinct - n) / n < 0.18
+
+
+def test_kmv_synopses_merge(spark):
+    # bottom-k of a union == bottom-k over the concatenated synopses —
+    # the property that lets per-shard sketches roll up without rereading
+    a = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2500, 9000).select(F.col("id").cast("string").alias("v"))
+    direct = [r.h for r in kmv_bottom_hashes(a.union(b), "v", k=64).collect()]
+    sa = kmv_bottom_hashes(a, "v", k=64)
+    sb = kmv_bottom_hashes(b, "v", k=64)
+    merged = [
+        r.h
+        for r in sa.union(sb).distinct().orderBy("h").limit(64).collect()
+    ]
+    assert direct == merged
+
+
+def test_keyword_search_plan_prefilters_scan(docs):
+    # the contains() pre-filter must sit in the plan as a data filter
+    # (scan-fused on this in-memory frame; pushed to the source on
+    # parquet) so non-candidate docs never reach the explode
+    plan = keyword_search(docs, ["merge"])._jdf.queryExecution().executedPlan().toString()
+    assert "contains" in plan.lower()

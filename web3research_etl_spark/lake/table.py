@@ -690,6 +690,31 @@ class LakeTable:
         (``read_for_column_range``). Columns whose footers can't prove
         a bound are simply absent — absent means "never skip"."""
         key = snap["key"]
+        # Footer reads are independent per (file, column) — do them
+        # concurrently (pyarrow releases the GIL around file IO). The
+        # serial loop was a fixed DRIVER-side cost per commit that grows
+        # with files written but not with cores — exactly the Amdahl
+        # term the N-vs-4N scaling rule punishes (a ~1 s serial slice of
+        # a 30 s 4-core epoch costs 3 points of efficiency; of a 100 s
+        # 1-core epoch, 1 point).
+        want_cols = ([key[0]] if key else []) + [
+            c for c in (stat_cols or []) if not key or c != key[0]
+        ]
+        stats_by_path: dict[str, dict] = {}
+        if want_cols:
+            all_paths = [p for ps in by_bucket.values() for p in ps]
+
+            def _read_footer(p: str) -> tuple[str, dict]:
+                full = os.path.join(self.path, p)
+                return p, {c: _footer_min_max(full, c) for c in want_cols}
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            if all_paths:
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(all_paths))
+                ) as ex:
+                    stats_by_path = dict(ex.map(_read_footer, all_paths))
         out = []
         for b, ps in sorted(by_bucket.items()):
             e: dict[str, Any] = {
@@ -698,21 +723,21 @@ class LakeTable:
                 "paths": ps,
             }
             if key:
-                stats = {}
-                for p in ps:
-                    mm = _footer_min_max(os.path.join(self.path, p), key[0])
-                    if mm is not None:
-                        stats[p] = mm
+                stats = {
+                    p: stats_by_path[p][key[0]]
+                    for p in ps
+                    if stats_by_path.get(p, {}).get(key[0]) is not None
+                }
                 if stats:
                     e["stats"] = stats
             if stat_cols:
                 col_stats: dict[str, dict] = {}
                 for p in ps:
-                    per = {}
-                    for c in stat_cols:
-                        mm = _footer_min_max(os.path.join(self.path, p), c)
-                        if mm is not None:
-                            per[c] = mm
+                    per = {
+                        c: stats_by_path[p][c]
+                        for c in stat_cols
+                        if stats_by_path.get(p, {}).get(c) is not None
+                    }
                     if per:
                         col_stats[p] = per
                 if col_stats:
