@@ -815,6 +815,20 @@ def q_doc_term_stats(spark, sf_dir):
     return term_stats(_t(spark, sf_dir, "documents"), min_df=5)
 
 
+def q_doc_bm25(spark, sf_dir):
+    """BM25 ranking of the conjunctive keyword-search candidates
+    (operators/search.bm25_rank). Deterministic across engines: every
+    float input is an exact integer (tf/df/N/token counts), per-term
+    partials sum as FIXED columns (never a float agg across rows), one
+    terminal round(…, 6); the DuckDB oracle evaluates the structurally
+    identical expression tree with every literal forced to DOUBLE."""
+    from web3research_etl_spark.operators.search import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"), ["merge", "spark", "window"]
+    )
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV bottom-k distinct-count sketch over event users
     (operators/sketch.py): shuffles only per-partition-distinct 8-byte
@@ -937,6 +951,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     return lsh_topk(emb, qv, dim=64, k=10, n_planes=8, max_hamming=3)
+
+
+def q_ann_int8_topk(spark, sf_dir):
+    """Scalar-quantized (int8) ANN: 4×-smaller codes, integer dot
+    products (operators/similarity.quantized_int8 / int8_topk). The
+    score's inputs (dot, both squared norms) are exact integers, so the
+    DuckDB oracle — which re-derives the corpus AND query quantization
+    from the same rows — is hash-exact; recall vs the float brute force
+    is pinned in tests/test_search_sketch.py."""
+    from web3research_etl_spark.operators.similarity import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return int8_topk(emb, qv, k=10)
 
 
 def q_events_windowed_rates(spark, sf_dir):
@@ -1483,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keyword_search": q_doc_keyword_search,
         "doc_term_stats": q_doc_term_stats,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "doc_bm25": q_doc_bm25,
+        "ann_int8_topk": q_ann_int8_topk,
     }
 
 
@@ -2602,6 +2632,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf
             FROM tok WHERE token <> ''
             GROUP BY token HAVING count(DISTINCT doc_id) >= 5
+        """,
+        # BM25: same tokenizer as doc_keyword_search; all float inputs
+        # are exact integers and the expression tree (association,
+        # operand order, one terminal round) mirrors bm25_rank exactly —
+        # the numeric literals (0.5, 1.0, 1.2, 2.2, 0.75) all convert to
+        # the identical doubles Spark's lit() ships
+        "doc_bm25": """
+            WITH c AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''))) AS DOUBLE) AS tot
+              FROM documents),
+            d0 AS (SELECT CAST(count(*) AS DOUBLE) AS df0 FROM documents
+                   WHERE contains(lower(text), 'merge')
+                     AND list_contains(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), 'merge')),
+            d1 AS (SELECT CAST(count(*) AS DOUBLE) AS df1 FROM documents
+                   WHERE contains(lower(text), 'spark')
+                     AND list_contains(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), 'spark')),
+            d2 AS (SELECT CAST(count(*) AS DOUBLE) AS df2 FROM documents
+                   WHERE contains(lower(text), 'window')
+                     AND list_contains(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), 'window')),
+            cand AS (
+              SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS dl,
+                CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x = 'merge')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x = 'spark')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x = 'window')) AS DOUBLE) AS tf2
+              FROM documents
+              WHERE contains(lower(text), 'merge')
+                AND contains(lower(text), 'spark')
+                AND contains(lower(text), 'window'))
+            SELECT doc_id,
+              round(
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                  * (tf0 * 2.2)
+                  / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot / n))))
+                + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                  * (tf1 * 2.2)
+                  / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot / n))))
+                + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                  * (tf2 * 2.2)
+                  / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot / n))))
+              , 6) AS bm25
+            FROM cand, c, d0, d1, d2
+            WHERE tf0 > 0 AND tf1 > 0 AND tf2 > 0
+        """,
+        # int8 scalar quantization re-derived per row IN SQL (round() =
+        # HALF-AWAY in both engines); dot and squared norms are exact
+        # integers, so the one float normalization step is hash-exact
+        "ann_int8_topk": """
+            WITH p AS (
+              SELECT embedding AS qe,
+                     list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') AS qma
+              FROM embeddings WHERE vec_id = 0),
+            q8 AS (
+              SELECT list_transform(qe, x -> CASE WHEN qma = 0
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / qma)
+                                 AS BIGINT) END) AS q8v
+              FROM p),
+            d AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+              FROM embeddings),
+            d8 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CASE WHEN ma = 0
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / ma)
+                                 AS BIGINT) END) AS d8v
+              FROM d),
+            scored AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(range(1, len(d8v) + 1),
+                       i -> d8v[CAST(i AS INT)] * q8v[CAST(i AS INT)]))
+                       AS BIGINT) AS qdot,
+                     CAST(list_sum(list_transform(d8v, x -> x * x))
+                       AS BIGINT) AS dn2,
+                     CAST(list_sum(list_transform(q8v, x -> x * x))
+                       AS BIGINT) AS qn2
+              FROM d8, q8)
+            SELECT vec_id, qdot,
+                   CASE WHEN dn2 = 0 OR qn2 = 0 THEN -2.0
+                        ELSE round(CAST(qdot AS DOUBLE)
+                                   / sqrt(CAST(dn2 AS DOUBLE)
+                                          * CAST(qn2 AS DOUBLE)), 6)
+                   END AS qcosine
+            FROM scored
+            ORDER BY qcosine DESC, vec_id
+            LIMIT 10
         """,
         # KMV bottom-k sketch: hash = the md5-int60 trick; the estimator
         # is one double division + round, deterministic IEEE-754 in both

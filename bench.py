@@ -121,6 +121,11 @@ BENCH_QUERIES = [
     "corpus_curation",
     "doc_pack_chunks",
     "cdc_ivm_event_type",
+    "doc_keyword_search",
+    "doc_term_stats",
+    "kmv_distinct_users",
+    "doc_bm25",
+    "ann_int8_topk",
 ]
 
 

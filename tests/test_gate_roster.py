@@ -52,6 +52,7 @@ ROTATED_OUT = {
     "doc_token_counts", "doc_quality", "doc_lang_id", "doc_fingerprint",
     "events_windowed_rates", "clickers_minus_buyers", "media_metadata",
     "doc_keyword_search", "doc_term_stats", "kmv_distinct_users",
+    "doc_bm25", "ann_int8_topk",
 }
 
 

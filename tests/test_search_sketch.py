@@ -112,3 +112,59 @@ def test_keyword_search_plan_prefilters_scan(docs):
     # parquet) so non-candidate docs never reach the explode
     plan = keyword_search(docs, ["merge"])._jdf.queryExecution().executedPlan().toString()
     assert "contains" in plan.lower()
+
+
+def test_bm25_scores_and_candidates(docs):
+    from web3research_etl_spark.operators.search import bm25_rank
+
+    got = {r.doc_id: r.bm25 for r in
+           bm25_rank(docs, ["merge", "spark", "window"]).collect()}
+    # same candidate set as conjunctive retrieval (docs 1, 3, 6)
+    assert set(got) == {1, 3, 6}
+    # all scores positive (plus-one idf is always > 0)
+    assert all(v > 0 for v in got.values())
+    # doc 3 repeats 'window' and is shorter than doc 1 → higher score
+    assert got[3] > got[1]
+    # hand-check doc 6 ("Merge SPARK Window": dl=3, each tf=1) to 6 dp
+    import math
+
+    n, tot = 6.0, float(7 + 3 + 4 + 3 + 3 + 3)
+    dfs = {"merge": 4.0, "spark": 4.0, "window": 3.0}
+    avgdl = tot / n
+    exp = 0.0
+    for t in ["merge", "spark", "window"]:
+        idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        exp += idf * (1.0 * 2.2) / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * (3.0 / avgdl)))
+    assert got[6] == pytest.approx(round(exp, 6), abs=2e-6)
+
+
+def test_int8_quantization_bounds_and_zero_vector(spark):
+    from web3research_etl_spark.operators.similarity import quantized_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    rows = {r.vec_id: (r.q8, r.q8_norm2) for r in quantized_int8(df).collect()}
+    # max-abs component maps to ±127; others scale proportionally
+    assert rows[0][0] == [64, -127, 32]  # round(.5*127)=64 (half up), .25*127=31.75→32
+    assert rows[0][1] == 64 * 64 + 127 * 127 + 32 * 32
+    # zero vector: all-zero codes, zero norm (try_divide guard)
+    assert rows[1] == ([0, 0, 0], 0)
+
+
+def test_int8_topk_recall_vs_float_bruteforce(spark):
+    from web3research_etl_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    exact = [r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()]
+    quant = [r.vec_id for r in int8_topk(emb, qv, k=10).collect()]
+    # int8 quantization is near-lossless at 64 dims: require recall@10 ≥ 0.8
+    assert len(set(exact) & set(quant)) >= 8
+    # the query vector itself must rank first in both
+    assert exact[0] == quant[0] == 0

@@ -79,6 +79,112 @@ def term_stats(
     )
 
 
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking of the conjunctive-match candidates for ``terms`` —
+    the scoring step after :func:`keyword_search`'s retrieval step.
+
+    Returns (doc_id, bm25) where bm25 = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·len/avgdl)), idf(t) = ln((N − df + 0.5)/(df +
+    0.5) + 1) — the Robertson plus-one form (always positive).
+
+    Determinism (the oracle contract): the per-term partial scores are
+    SUMMED AS FIXED COLUMNS in term order, never float-aggregated across
+    rows (float addition is not associative; an agg's order depends on
+    partitioning), every input to the float math is an exact integer
+    (tf, df, N, doc/corpus token counts), and the final score carries
+    one terminal round(…, 6). The DuckDB oracle evaluates the
+    structurally identical expression tree.
+
+    Scale shape: corpus statistics (N, total tokens, per-term df) reduce
+    to ONE broadcast row — df for each term is computed under the same
+    scan-fused contains() pre-filter as retrieval, so neither pass
+    explodes non-candidate documents; candidate tf/length pivot to one
+    row per doc (fixed term columns, combinable agg); the stats row
+    cross-joins in as a broadcast. Payload text never shuffles."""
+    import re
+
+    for t in terms:
+        if not re.fullmatch("[a-z0-9]+", t):
+            raise ValueError(f"term {t!r} is not a lowercase alnum token")
+
+    def _toklen(col: Column) -> Column:
+        # length in TOKENIZER tokens (size of the split minus empties) —
+        # must agree with doc_tokens, not with \S+ word counting
+        return F.size(
+            F.filter(
+                F.split(F.lower(col), TOKEN_SPLIT_PATTERN), lambda x: x != ""
+            )
+        ).cast("bigint")
+
+    # one-row corpus stats: N docs, total token count (avgdl = total/N
+    # evaluated INSIDE the score expression so both engines divide the
+    # same exact integers)
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_toklen(F.col(text_col))).alias("total_tokens"),
+    )
+    # per-term document frequency over the WHOLE corpus, one pre-filtered
+    # narrow pass per term folded into a single 1-row frame
+    stats = corpus
+    for i, t in enumerate(terms):
+        df_t = (
+            docs.filter(F.contains(F.lower(F.col(text_col)), F.lit(t)))
+            .filter(
+                F.array_contains(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_PATTERN),
+                    t,
+                )
+            )
+            .agg(F.count("*").alias(f"df_{i}"))
+        )
+        stats = stats.crossJoin(F.broadcast(df_t))
+
+    # candidate docs: conjunctive pre-filter, then per-term tf pivot +
+    # doc length — one combinable aggregation, fixed columns
+    pre = docs
+    for t in terms:
+        pre = pre.filter(F.contains(F.lower(F.col(text_col)), F.lit(t)))
+    staged = pre.select(
+        id_col, _toklen(F.col(text_col)).alias("dl"),
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_PATTERN).alias("__t"),
+    )
+    tf_cols = [
+        F.size(F.filter("__t", lambda x: x == F.lit(t)))
+        .cast("bigint")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    cand = staged.select(id_col, "dl", *tf_cols).filter(
+        " AND ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    )
+
+    scored = cand.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfv = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log((n - dfv + F.lit(0.5)) / (dfv + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        parts.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return scored.select(id_col, F.round(total, 6).alias("bm25"))
+
+
 def keyword_search(
     docs: DataFrame,
     terms: list[str],

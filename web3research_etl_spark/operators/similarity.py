@@ -338,3 +338,110 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def quantized_int8(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /
+    max|x|), the standard scalar-quantized ANN storage format — 4× less
+    memory/IO than float32, integer SIMD dot products on a real cluster.
+
+    Adds ``q8`` (array<bigint>, values ∈ [-127, 127]) and ``q8_norm2``
+    (Σ q_i², the exact integer squared norm used to normalize scores).
+    A zero vector quantizes to all-zeros (try_divide guard) with norm 0.
+
+    The max|x| staging is a separate projection (the exploded_shingles
+    lesson: Catalyst does not CSE inside higher-order-function lambdas,
+    so folding the max into the per-element lambda would re-reduce the
+    whole array once per element — O(dim²) per row)."""
+    staged = embeddings.withColumn(
+        "__ma",
+        F.aggregate(
+            F.col(emb_col),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        ),
+    )
+    q8 = F.transform(
+        F.col(emb_col),
+        lambda x: F.coalesce(
+            F.round(
+                F.try_divide(x.cast("double") * F.lit(127.0), F.col("__ma"))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    return staged.withColumn("q8", q8).withColumn(
+        "q8_norm2",
+        F.aggregate(
+            F.col("q8"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ),
+    ).drop("__ma")
+
+
+def half_up(v: float) -> int:
+    """Round-half-away-from-zero (what Spark's round() and DuckDB's
+    round() both do for doubles) — Python's built-in round() is
+    banker's, which would disagree on exact .5 ties."""
+    import math
+
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
+def quantize_query_int8(query_vec: list[float]) -> list[int]:
+    """The driver-side twin of quantized_int8 for a query vector —
+    precomputed once, shipped as an integer literal to both engines."""
+    ma = max((abs(float(x)) for x in query_vec), default=0.0)
+    if ma == 0.0:
+        return [0] * len(query_vec)
+    return [half_up(float(x) * 127.0 / ma) for x in query_vec]
+
+
+def int8_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Top-k by QUANTIZED cosine: integer dot product of int8 codes,
+    normalized by the exact integer norms. The hot path is integer
+    arithmetic over 4×-smaller codes — at 100 TB this is the difference
+    between scanning 25 TB and 100 TB per brute-force pass, and the
+    normalization inputs (dot, norms) are exact integers, so the only
+    float ops are one multiply, one sqrt (IEEE-correctly-rounded in
+    both engines), one divide and one terminal round — hash-exact in
+    the DuckDB oracle, unlike a float32 accumulation which would be
+    partitioning-dependent.
+
+    Returns (vec_id, qdot, qcosine); ordering and the top-k cutoff use
+    the ROUNDED score with a vec_id tiebreak, so both engines cut the
+    same set. Recall vs the float brute force is measured in
+    tests/test_search_sketch.py."""
+    q8 = quantize_query_int8(query_vec)
+    qn2 = sum(x * x for x in q8)
+    qlit = F.array(*[F.lit(int(x)).cast("bigint") for x in q8])
+    scored = quantized_int8(embeddings).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("q8"), qlit, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+        F.col("q8_norm2"),
+    )
+    qcos = F.coalesce(
+        F.nanvl(
+            F.round(
+                F.try_divide(
+                    F.col("qdot").cast("double"),
+                    F.sqrt(
+                        F.col("q8_norm2").cast("double") * F.lit(float(qn2))
+                    ),
+                ),
+                6,
+            ),
+            F.lit(-2.0),
+        ),
+        F.lit(-2.0),
+    )
+    return (
+        scored.select("vec_id", "qdot", qcos.alias("qcosine"))
+        .orderBy(F.desc("qcosine"), F.asc("vec_id"))
+        .limit(k)
+    )
