@@ -87,6 +87,14 @@ EFF_STOP = float(os.environ.get("BENCH_EFF_STOP", "0.82"))
 # stop (VERDICT r02: a number green only under the favorable composition
 # is fragile evidence)
 MED_STOP = float(os.environ.get("BENCH_MED_STOP", "0.8"))
+# ...and the efficiency must be PLAUSIBLE: >1.0 on an identical work
+# decomposition means the small leg is degraded (a burst the between-
+# pair hw probes missed — observed 2026-08-19 14:06 run: local[1] legs
+# 36% under their clean floor, probes 1.019/0.991, eff "1.044"). Keep
+# drawing instead of recording superscaling: min-composition recovers
+# the true floor as soon as one clean small draw lands. Small slack
+# over 1.0 because min-composition can legitimately land a hair above.
+EFF_CAP = float(os.environ.get("BENCH_EFF_CAP", "1.02"))
 # sane-probe window for early stop (VERDICT r02 asks probes ∈ [0.9, 1.0])
 PROBE_MIN = float(os.environ.get("BENCH_PROBE_MIN", "0.9"))
 PROBE_MAX = float(os.environ.get("BENCH_PROBE_MAX", "1.02"))
@@ -422,6 +430,8 @@ def _zorder_probe(table) -> dict:
     stats over z-banded files. Reports both walls, the rewrite cost,
     and the files kept/total from the pruner itself so the speedup is
     attributable to file skipping, not caching."""
+    import pyspark.sql.functions as F
+
     # 0.55–0.65 band, not 0.45–0.55: a band centered on the median
     # straddles the code MSB — the FIRST bit the z-band split consumes —
     # so it touches every band by construction (the pruner's worst
@@ -457,6 +467,18 @@ def _zorder_probe(table) -> dict:
     out["clustered_scan_sec"] = t_scan()
     out["clustered_files_kept"] = kept1
     out["clustered_files_total"] = total1
+    # controlled baseline on the SAME layout: read every clustered file
+    # and apply the identical residual filter, no stat pruning. The
+    # unclustered-vs-clustered wall comparison alone is apples-to-
+    # oranges (different file counts/sizes; at sandbox scale per-file
+    # open cost dominates either way) — kept/total predicts the IO
+    # saved at 10^10 rows, and this pair isolates what pruning itself
+    # buys on the layout it actually runs against.
+    t0 = time.time()
+    table.read().filter(
+        (F.col("event_seq") >= lo) & (F.col("event_seq") <= hi)
+    ).count()
+    out["clustered_fullscan_sec"] = round(time.time() - t0, 3)
     return out
 
 
@@ -717,8 +739,14 @@ def _adaptive_scaling(
             probe_sane = PROBE_MIN <= probes[-1] <= PROBE_MAX
             # composition-independent green: BOTH the min- and the
             # median-composed efficiency must clear the bar in a window
-            # whose probe is sane (VERDICT r02 next #2)
-            if eff >= EFF_STOP and med_eff >= MED_STOP and probe_sane:
+            # whose probe is sane (VERDICT r02 next #2) — and be
+            # PLAUSIBLE (≤ EFF_CAP): superscaling = contaminated small
+            # leg, same disqualifier as an insane probe
+            if (
+                EFF_STOP <= eff <= EFF_CAP
+                and MED_STOP <= med_eff <= EFF_CAP
+                and probe_sane
+            ):
                 break
             if over_deadline or len(runs_big) >= max_big:
                 break
@@ -732,6 +760,12 @@ def _adaptive_scaling(
             and r_small["steady_events_per_sec"] <= prev_small_eps * 1.01
         ):
             small_frozen = True
+        if eff > EFF_CAP:
+            # superscaling ⇒ the SMALL leg's floor is the contaminated
+            # one — keep drawing it (big-only top-ups could only inflate
+            # eff further, and a frozen degraded floor would wedge the
+            # loop above the cap for the whole budget)
+            small_frozen = False
         prev_small_eps = r_small["steady_events_per_sec"]
         # Pre-draw overflow check: never START a draw the remaining
         # window cannot fit. A draw is uninterruptible (~450 s at the

@@ -168,3 +168,53 @@ def test_int8_topk_recall_vs_float_bruteforce(spark):
     assert len(set(exact) & set(quant)) >= 8
     # the query vector itself must rank first in both
     assert exact[0] == quant[0] == 0
+
+
+def test_postings_as_clustered_laketable_token_lookup(spark, tmp_table_dir):
+    # the persisted-retrieval-index story: write the inverted index as a
+    # lake table, z-order-cluster it by token, and serve token lookups
+    # from per-file per-column stats (files skipped, not just rows).
+    # Hash bucketing alone CANNOT prune a token lookup here — the bucket
+    # hash covers (token, doc_id), so one token spreads over all buckets
+    # — which is exactly what the fourth pruning level exists for.
+    import pyspark.sql.types as T
+
+    from web3research_etl_spark.lake.table import LakeTable
+    from web3research_etl_spark.operators.search import postings
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), ((F.col("id") * k) % 97).cast("string"))
+                for k in (1, 3, 7, 11, 13)
+            ],
+        ).alias("text"),
+    )
+    p = postings(docs)
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{tmp_table_dir}/postings", schema,
+        key=["token", "doc_id"], n_buckets=8,
+    )
+    t.append(p.select("token", "doc_id", "tf"))
+    t.rewrite_clustered(["token"], files_per_bucket=6)
+
+    expected = sorted(
+        (r.doc_id, r.tf) for r in p.filter(F.col("token") == "w5").collect()
+    )
+    got_df = t.read_for_column_range("token", "w5", "w5")
+    got = sorted((r.doc_id, r.tf) for r in got_df.collect())
+    assert got == expected and len(got) > 0
+
+    snap = t.current_snapshot()
+    _, kept, total = t._prune_groups_for_column_range(snap, "token", "w5", "w5")
+    # clustering by token must let a single-token lookup skip most files
+    assert total >= 24 and kept <= total // 3
