@@ -716,6 +716,15 @@ def _adaptive_scaling(
             "efficiency_vs_machine_ceiling": round(min(eff / ceiling, 1.5), 3)
             if ceiling
             else None,
+            # false ⇒ the LAST probe read outside [PROBE_MIN, PROBE_MAX]:
+            # the machine itself failed to deliver raw-CPU scaling in
+            # this window, so the efficiency above measures the
+            # hypervisor, not the engine (read it with
+            # efficiency_vs_machine_ceiling) — happens to the budget-
+            # squeezed corroboration pair, never to an early-stopped
+            # primary (the stop REQUIRES a sane probe)
+            "window_clean": bool(probes)
+            and PROBE_MIN <= probes[-1] <= PROBE_MAX,
         }
 
     while True:
