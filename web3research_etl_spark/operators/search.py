@@ -102,12 +102,14 @@ def bm25_rank(
     one terminal round(…, 6). The DuckDB oracle evaluates the
     structurally identical expression tree.
 
-    Scale shape: corpus statistics (N, total tokens, per-term df) reduce
-    to ONE broadcast row — df for each term is computed under the same
-    scan-fused contains() pre-filter as retrieval, so neither pass
-    explodes non-candidate documents; candidate tf/length pivot to one
-    row per doc (fixed term columns, combinable agg); the stats row
-    cross-joins in as a broadcast. Payload text never shuffles."""
+    Scale shape: corpus statistics (N, total tokens, AND every term's
+    df as conditional sums sharing one per-row split) reduce to ONE
+    aggregation pass over the corpus and ONE broadcast row — two corpus
+    scans total including the candidate pass, independent of term
+    count; candidates pivot to one row per doc (fixed term columns,
+    scan-fused contains() pre-filter so only they pay the split); the
+    stats row cross-joins in as a broadcast. Payload text never
+    shuffles, and nothing here explodes rows at all."""
     import re
 
     for t in terms:
@@ -125,26 +127,21 @@ def bm25_rank(
 
     # one-row corpus stats: N docs, total token count (avgdl = total/N
     # evaluated INSIDE the score expression so both engines divide the
-    # same exact integers)
-    corpus = docs.agg(
+    # same exact integers) AND every term's document frequency — ONE
+    # aggregation pass over the corpus (conditional sums share the
+    # per-row split), not one scan per term; with 3 terms this takes
+    # bm25_rank from 5 corpus scans to 2 (stats + candidates)
+    split_col = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_PATTERN)
+    stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(_toklen(F.col(text_col))).alias("total_tokens"),
-    )
-    # per-term document frequency over the WHOLE corpus, one pre-filtered
-    # narrow pass per term folded into a single 1-row frame
-    stats = corpus
-    for i, t in enumerate(terms):
-        df_t = (
-            docs.filter(F.contains(F.lower(F.col(text_col)), F.lit(t)))
-            .filter(
-                F.array_contains(
-                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_PATTERN),
-                    t,
-                )
+        *[
+            F.sum(F.array_contains(split_col, t).cast("bigint")).alias(
+                f"df_{i}"
             )
-            .agg(F.count("*").alias(f"df_{i}"))
-        )
-        stats = stats.crossJoin(F.broadcast(df_t))
+            for i, t in enumerate(terms)
+        ],
+    )
 
     # candidate docs: conjunctive pre-filter, then per-term tf pivot +
     # doc length — one combinable aggregation, fixed columns
