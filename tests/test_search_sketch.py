@@ -218,3 +218,26 @@ def test_postings_as_clustered_laketable_token_lookup(spark, tmp_table_dir):
     _, kept, total = t._prune_groups_for_column_range(snap, "token", "w5", "w5")
     # clustering by token must let a single-token lookup skip most files
     assert total >= 24 and kept <= total // 3
+
+
+def test_kmv_plan_shape(spark):
+    # the 100-TB contract, pinned: map-side dedup BEFORE the exchange
+    # (shuffle carries per-partition-distinct hashes only) and a
+    # TakeOrderedAndProject for bottom-k (no global sort)
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    plan = kmv_bottom_hashes(df, "v", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "HashAggregate" in pre_exchange, "no partial (map-side) dedup below the exchange"
+
+
+def test_int8_topk_plan_is_shuffle_free(spark):
+    # quantize + integer dot + top-k must be one scan, no Exchange
+    from web3research_etl_spark.operators.similarity import int8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    plan = int8_topk(emb, qv, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan

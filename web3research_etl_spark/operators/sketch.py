@@ -31,7 +31,7 @@ Scale shape (the part that matters at 10^10 rows):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from web3research_etl_spark.operators.text import md5_int60
