@@ -2743,13 +2743,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # KMV bottom-k sketch: hash = the md5-int60 trick; the estimator
         # is one double division + round, deterministic IEEE-754 in both
-        # engines, so est_distinct hash-matches exactly
+        # engines, so est_distinct hash-matches exactly. NULL keys are
+        # excluded on BOTH engines (COUNT DISTINCT semantics; also the
+        # engines disagree on NULL sort position — Spark first, DuckDB
+        # last — so an unfiltered NULL would hash-diverge, ADVICE r4).
         "kmv_distinct_users": """
             WITH h AS (
               SELECT DISTINCT
                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
                      AS BIGINT) AS h
-              FROM events),
+              FROM events
+              WHERE user_id IS NOT NULL),
             bottom AS (SELECT h FROM h ORDER BY h LIMIT 512),
             agg AS (SELECT count(*) AS k_used, max(h) AS kth_min_hash
                     FROM bottom)

@@ -1,12 +1,17 @@
 """Benchmark harness.
 
-Prints the cumulative result as ONE JSON line AFTER EVERY COMPLETED
-MILESTONE (each scaling leg, each query timing, each compare) — the
-LAST parseable stdout line is always the best-so-far artifact, so a
-harness that kills the process at its own deadline still records
-everything finished up to that point. (VERDICT r03 missing #1/#4: a
-single end-of-run print zeroed the whole round-3 artifact when the
-driver's timeout hit first.) The final line carries "partial": false.
+Prints TWO JSON lines after every completed milestone (each scaling
+leg, each query timing, each compare): the full cumulative result,
+then a COMPACT headline line (≤ ~1,500 chars) with the same
+metric/value/unit/queries/sf contract. The harness that records this
+artifact keeps only the final ~2,000 chars of stdout and parses the
+last complete JSON line inside them — round 4's cumulative line (full
+query_repeats + all_batch_ms arrays + probe histories) outgrew that
+window, so a clean rc-0 run still recorded ``parsed: null`` (VERDICT
+r04 wrong #1). The compact line is always last and always fits; the
+cumulative line right above it preserves the full detail for humans
+and for partial-run forensics (it saved round 3's timeout). The final
+pair carries "partial": false.
 
 Shape:
   {"metric": "...", "value": <headline sec>, "unit": "sec",
@@ -135,6 +140,98 @@ BENCH_QUERIES = [
     "doc_bm25",
     "ann_int8_topk",
 ]
+
+
+# hard size bound for the compact headline line; the consuming
+# harness's stdout tail is 2000 chars, so the LAST line must be
+# comfortably under it (a mid-line truncation parses as nothing)
+COMPACT_LINE_MAX = 1500
+
+
+def _pair_headline(d: dict | None) -> dict | None:
+    """Compress one scaling-pair result to its decision-grade fields."""
+    if not d or "scaling_efficiency" not in d:
+        return None
+    s, b = d.get("pair", [None, None])
+    small = d.get(f"local[{s}]") or {}
+    big = d.get(f"local[{b}]") or {}
+    out = {
+        "pair": d.get("pair"),
+        "eff": d.get("scaling_efficiency"),
+        "med_eff": d.get("median_scaling_efficiency"),
+        "probes": d.get("machine_probe_history"),
+        "window_clean": d.get("window_clean"),
+        "small_eps": small.get("steady_events_per_sec"),
+        "big_eps": big.get("steady_events_per_sec"),
+    }
+    # short keys on purpose — this block must fit the tail window with
+    # the full per-query table still present
+    for src, dst in (
+        ("workload_probe_history", "wl_probes"),
+        ("serial_adjusted_efficiency", "serial_adj_eff"),
+        ("driver_serial_frac", "serial_frac"),
+    ):
+        if d.get(src) is not None:
+            out[dst] = d[src]
+    return out
+
+
+def compact_headline_line(result: dict) -> str:
+    """The ≤ COMPACT_LINE_MAX-char JSON line emitted LAST on every
+    flush: same metric/value/unit/queries/sf contract as the cumulative
+    artifact, plus a ``headline`` block carrying the scaling verdicts.
+    Degrades by dropping per-query detail (never the verdicts) if the
+    query table alone would overflow the budget."""
+    cdc = result.get("cdc") or {}
+    head: dict = {"events": cdc.get("events")}
+    p = _pair_headline(cdc)
+    if p:
+        head["primary"] = p
+    c = _pair_headline(cdc.get("corroboration_pair"))
+    if c:
+        head["corroboration"] = c
+    wm = cdc.get("write_mode_compare") or {}
+    if "bytes_written_ratio_cow_over_mor" in wm:
+        head["write_amp_cow_over_mor"] = wm["bytes_written_ratio_cow_over_mor"]
+        head["mor_throughput_ratio"] = wm.get("throughput_ratio_mor_over_cow")
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": dict(result.get("queries") or {}),
+        "sf": result["sf"],
+        "partial": result["partial"],
+        "stages_done": result["stages_done"],
+        "total_bench_sec": result.get("total_bench_sec"),
+        "headline": head,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > COMPACT_LINE_MAX:
+        # tier 1: trim probe histories to their last 3 draws (the stop
+        # decision reads the LAST probe; earlier draws stay in the
+        # cumulative line above) — cheaper to lose than the query table
+        for blk in ("primary", "corroboration"):
+            for k in ("probes", "wl_probes"):
+                hist = head.get(blk, {}).get(k)
+                if isinstance(hist, list) and len(hist) > 3:
+                    head[blk][k] = hist[-3:]
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > COMPACT_LINE_MAX:
+        # tier 2: collapse the per-query table to its total
+        compact["queries"] = {
+            "__sum_sec": result.get("value"),
+            "__n_queries": len(result.get("queries") or {}),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > COMPACT_LINE_MAX:
+        # tier 3: drop probe histories entirely (last-resort; eff +
+        # window_clean always survive)
+        for blk in ("primary", "corroboration"):
+            if blk in head:
+                head[blk].pop("probes", None)
+                head[blk].pop("wl_probes", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def _fresh_spark(cpus: int, app: str):
@@ -509,7 +606,13 @@ def main() -> None:
             result["stages_done"].append(stage)
         result["partial"] = not final
         result["total_bench_sec"] = round(time.time() - t_start, 1)
+        # full cumulative first (human/forensic detail), compact
+        # headline LAST — the consuming harness parses the last complete
+        # JSON line inside a ~2000-char stdout tail, which the
+        # cumulative line outgrew in round 4 (parsed: null on a clean
+        # run); the compact line is bounded ≤ COMPACT_LINE_MAX
         print(json.dumps(result), flush=True)
+        print(compact_headline_line(result), flush=True)
 
     # --- stage 0: generate the CDC input once (same files for all runs)
     from web3research_etl_spark.changelog import write_changelog_dir

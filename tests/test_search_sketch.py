@@ -91,6 +91,49 @@ def test_kmv_estimate_accuracy_and_determinism(spark):
     assert abs(est1.est_distinct - n) / n < 0.18
 
 
+def test_kmv_null_keys_excluded(spark):
+    # COUNT(DISTINCT) semantics: NULL keys contribute nothing. Before
+    # the fix (ADVICE r4) md5(NULL)→NULL sorted FIRST in Spark, stole a
+    # bottom-k slot that count("h") skipped, and k_used=k-1 tripped the
+    # exact-count branch: 5000 distinct + one NULL estimated 511.
+    base = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
+    with_null = base.union(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    clean = kmv_distinct_estimate(base, "v", k=512).collect()[0]
+    nulled = kmv_distinct_estimate(with_null, "v", k=512).collect()[0]
+    assert nulled == clean            # NULL is invisible to the sketch
+    assert nulled.k_used == 512
+    assert abs(nulled.est_distinct - 5000) / 5000 < 0.18
+    # exact regime too: below-k distinct + NULLs stays exact
+    small = spark.range(0, 37).select(F.col("id").cast("string").alias("v"))
+    row = kmv_distinct_estimate(
+        small.union(spark.createDataFrame([(None,), (None,)], "v string")),
+        "v", k=512,
+    ).collect()[0]
+    assert (row.k_used, row.est_distinct) == (37, 37)
+
+
+def test_search_terms_deduped_and_empty_rejected(docs):
+    from web3research_etl_spark.operators.search import bm25_rank
+
+    # duplicated terms must behave as the deduped query (pre-fix the
+    # countDistinct == len(terms) conjunction was unsatisfiable → empty)
+    dup = {r.doc_id: (r.n_terms_matched, r.tf_sum)
+           for r in keyword_search(docs, ["merge", "merge", "spark"]).collect()}
+    ded = {r.doc_id: (r.n_terms_matched, r.tf_sum)
+           for r in keyword_search(docs, ["merge", "spark"]).collect()}
+    assert dup == ded and dup
+    b_dup = {r.doc_id: r.bm25
+             for r in bm25_rank(docs, ["merge", "merge"]).collect()}
+    b_ded = {r.doc_id: r.bm25 for r in bm25_rank(docs, ["merge"]).collect()}
+    assert b_dup == b_ded and b_dup
+    with pytest.raises(ValueError):
+        keyword_search(docs, [])
+    with pytest.raises(ValueError):
+        bm25_rank(docs, [])
+
+
 def test_kmv_synopses_merge(spark):
     # bottom-k of a union == bottom-k over the concatenated synopses —
     # the property that lets per-shard sketches roll up without rereading

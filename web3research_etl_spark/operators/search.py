@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
 
 
+def _normalize_terms(terms: list[str]) -> list[str]:
+    """Validate + dedupe a query's term list (order-preserving).
+
+    Raised early because both failure modes are silent downstream: an
+    empty list builds an invalid filter (bm25) or matches nothing
+    meaningful, and a DUPLICATED term makes keyword_search's
+    countDistinct(token) == len(terms) conjunction unsatisfiable — every
+    query with a repeated word returned empty (ADVICE r4)."""
+    import re
+
+    if not terms:
+        raise ValueError("terms must be a non-empty list of tokens")
+    for t in terms:
+        if not re.fullmatch("[a-z0-9]+", t):
+            raise ValueError(f"term {t!r} is not a lowercase alnum token")
+    return list(dict.fromkeys(terms))
+
+
 def doc_tokens(
     docs: DataFrame, text_col: str = "text", keep: tuple = ("doc_id",)
 ) -> DataFrame:
@@ -110,11 +128,7 @@ def bm25_rank(
     scan-fused contains() pre-filter so only they pay the split); the
     stats row cross-joins in as a broadcast. Payload text never
     shuffles, and nothing here explodes rows at all."""
-    import re
-
-    for t in terms:
-        if not re.fullmatch("[a-z0-9]+", t):
-            raise ValueError(f"term {t!r} is not a lowercase alnum token")
+    terms = _normalize_terms(terms)
 
     def _toklen(col: Column) -> Column:
         # length in TOKENIZER tokens (size of the split minus empties) —
@@ -198,11 +212,7 @@ def keyword_search(
     ``terms`` must already be in token form (lowercase alphanumeric) —
     raise early otherwise, a mixed-case term would silently match
     nothing."""
-    import re
-
-    for t in terms:
-        if not re.fullmatch("[a-z0-9]+", t):
-            raise ValueError(f"term {t!r} is not a lowercase alnum token")
+    terms = _normalize_terms(terms)
     # scan-fused conservative pre-filter: substring containment is a
     # superset of whole-token match, evaluated on the raw text inside
     # the scan stage — non-candidate docs never reach the explode

@@ -48,6 +48,14 @@ def kmv_bottom_hashes(df: DataFrame, col: str, k: int = 512) -> DataFrame:
     roll up without touching the raw data again."""
     return (
         df.select(md5_int60(F.col(col)).alias("h"))
+        # NULL keys are excluded, matching COUNT(DISTINCT col) semantics.
+        # md5(NULL) hashes to NULL and Spark's ascending sort places NULL
+        # FIRST, so an unfiltered NULL would silently occupy a bottom-k
+        # slot that count("h") then skips — k_used=k-1 trips the
+        # exact-count branch and a 5k-distinct + one-NULL input estimated
+        # 511 (ADVICE r4, verified). Crawl key columns (urls, user ids)
+        # are exactly where NULLs appear, so filter at the source.
+        .filter(F.col("h").isNotNull())
         .groupBy("h")          # map-side combine: dedup before the shuffle
         .agg(F.lit(1).alias("__one"))
         .select("h")
