@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "kmv_distinct_users",
     "doc_bm25",
     "ann_int8_topk",
+    "doc_bm25_indexed",
+    "doc_keyword_indexed",
+    "doc_postings_incremental",
 ]
 
 

@@ -230,3 +230,181 @@ def keyword_search(
         )
         .filter(F.col("n_terms_matched") == len(terms))
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-through-the-index operators (VERDICT r4 next #3)
+#
+# bm25_rank/keyword_search above scan the raw corpus per query — correct
+# and 2-scan-efficient as direct queries, but at 10^10 documents a
+# per-query corpus scan is the one thing an inverted index exists to
+# avoid. The operators below serve the SAME results from the persisted
+# index tables this module already builds: candidates come from the
+# postings rows for the query's terms (file-skipped by token when the
+# postings LakeTable is z-order-clustered on token), df/cf from the
+# term-stats table, doc length from a per-posting denormalized ``dl``
+# (the classic impact-ordered-postings trick: +8 bytes per posting buys
+# scoring with ZERO joins against corpus-sized tables). The corpus
+# payload is never touched at query time.
+# ---------------------------------------------------------------------------
+
+
+def doc_lengths(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl) — per-document length in TOKENIZER tokens, including
+    zero-token documents (they count toward N/avgdl exactly as the
+    direct path's corpus aggregate counts them). Computed with the same
+    split-size expression bm25_rank uses, so both paths feed identical
+    exact integers into the float math."""
+    return docs.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_PATTERN),
+                lambda x: x != "",
+            )
+        )
+        .cast("bigint")
+        .alias("dl"),
+    )
+
+
+def corpus_stats_from_lengths(lengths: DataFrame) -> DataFrame:
+    """One row (n_docs, total_tokens) from a (doc_id, dl) frame — the
+    BM25 corpus constants, derivable from the persisted doc-lengths
+    side of the index without touching payload text."""
+    return lengths.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+
+
+def indexed_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The scoring-ready inverted index: (token, doc_id, tf, dl) —
+    :func:`postings` with the document's token length denormalized onto
+    every posting. One extra join at BUILD time (amortized over every
+    query) so query-time scoring needs no corpus-sized join at all."""
+    return postings(docs, text_col=text_col).join(
+        doc_lengths(docs, text_col=text_col, id_col=id_col), id_col
+    )
+
+
+def keyword_search_indexed(
+    postings_df: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`keyword_search`, served from the index: same
+    (doc_id, n_terms_matched, tf_sum) result, computed from postings
+    rows alone. ``postings_df`` is any frame with (token, doc_id, tf) —
+    typically :func:`read_postings_for_terms` over the persisted
+    z-ordered postings LakeTable, where the term filter becomes
+    file-level skipping instead of a corpus scan."""
+    terms = _normalize_terms(terms)
+    return (
+        postings_df.filter(F.col("token").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("token").alias("n_terms_matched"),
+            F.sum("tf").alias("tf_sum"),
+        )
+        .filter(F.col("n_terms_matched") == len(terms))
+    )
+
+
+def bm25_rank_indexed(
+    postings_df: DataFrame,
+    term_stats_df: DataFrame,
+    corpus_stats_df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bm25_rank`, served from the index: float-identical
+    (doc_id, bm25) scores with ZERO corpus scans at query time.
+
+    Inputs: ``postings_df`` (token, doc_id, tf, dl) — see
+    :func:`indexed_postings`; ``term_stats_df`` (token, df, …) built
+    with ``min_df=1`` (a thresholded stats table would under-count df
+    for rare terms and silently change scores); ``corpus_stats_df`` one
+    row (n_docs, total_tokens) — see :func:`corpus_stats_from_lengths`.
+
+    Determinism: every float input is the same exact integer the direct
+    path derives from the raw text (tf = in-doc occurrences, df = docs
+    containing the token, dl/total = tokenizer lengths), and the score
+    expression tree is copied from :func:`bm25_rank` operand-for-operand
+    (fixed per-term columns summed in term order, one terminal
+    round(…, 6)) — so direct, indexed, and the DuckDB oracle agree
+    bit-for-bit, which the tests assert with == not approx.
+
+    Scale shape: the term filter touches only the query's postings
+    (file-skipped by token on a z-ordered postings table); the pivot to
+    one row per candidate doc shuffles skinny (doc_id, tf, dl) rows; the
+    stats side reduces to ONE broadcast row (term df pivot × corpus
+    constants). Nothing corpus-sized moves."""
+    terms = _normalize_terms(terms)
+
+    # one broadcast stats row: corpus constants × per-term df pivot
+    ts_row = term_stats_df.filter(F.col("token").isin(list(terms))).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == F.lit(t), F.col("df"))),
+                F.lit(0).cast("long"),
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = corpus_stats_df.crossJoin(ts_row)
+
+    # candidates: postings for the query's terms, pivoted to one row per
+    # doc with fixed per-term tf columns; conjunctive = every tf present
+    cand = (
+        postings_df.filter(F.col("token").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("token") == F.lit(t), F.col("tf"))
+                ).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+            F.max("dl").alias("dl"),
+        )
+        .filter(" AND ".join(f"tf_{i} IS NOT NULL" for i in range(len(terms))))
+    )
+
+    scored = cand.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfv = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log((n - dfv + F.lit(0.5)) / (dfv + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        parts.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return scored.select(id_col, F.round(total, 6).alias("bm25"))
+
+
+def read_postings_for_terms(table, terms: list[str]) -> DataFrame:
+    """Token-pruned read of a persisted postings LakeTable: one
+    file-skipped column-range read per term (the z-order clustered
+    per-column stats path, LakeTable.read_for_column_range), unioned.
+    Terms are disjoint point predicates so the union has no overlap.
+    On a table without column stats every leg degrades to a full scan
+    with the residual filter — conservative, never wrong."""
+    terms = _normalize_terms(terms)
+    out = None
+    for t in terms:
+        leg = table.read_for_column_range("token", t, t)
+        out = leg if out is None else out.unionByName(leg)
+    return out
