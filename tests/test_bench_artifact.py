@@ -147,3 +147,24 @@ def test_compact_line_drops_query_detail_before_verdicts():
     parsed = json.loads(line)
     assert parsed["queries"]["__n_queries"] == 200
     assert parsed["headline"]["primary"]["eff"] == 0.882
+
+
+def test_compose_min_epochs_carries_serial_breakdown():
+    # the serial-adjusted scaling story depends on min_epoch_serial_ms
+    # surviving composition; runs without instrumentation read as 0
+    runs = [
+        {"cpus": 4, "wall_sec": 30.0, "events_per_sec": 1000.0,
+         "batch_ms": [10000, 9000, 8000], "epoch_serial_ms": [900, 500, 450],
+         "converged_rows": 10},
+        {"cpus": 4, "wall_sec": 28.0, "events_per_sec": 1100.0,
+         "batch_ms": [9500, 9500, 7900], "epoch_serial_ms": [800, 600, 400],
+         "converged_rows": 10},
+        {"cpus": 4, "wall_sec": 29.0, "events_per_sec": 1050.0,
+         "batch_ms": [9800, 8800, 8100],  # no instrumentation
+         "converged_rows": 10},
+    ]
+    out = bench._compose_min_epochs(runs, 30000)
+    assert out["min_epoch_ms"] == [9500, 8800, 7900]
+    assert out["min_epoch_serial_ms"] == [800, 500, 400]
+    # steady window = epochs 2..n: (500+400)/(8800+7900)
+    assert out["serial_frac"] == round(900 / 16700, 4)

@@ -177,3 +177,113 @@ def test_feed_retention_in_stream_consumer_survives(spark, tmp_table_dir):
         assert mirror.state_hash() == base.state_hash()
     finally:
         ch.unpersist()
+
+
+def test_async_sidecars_converge_identically(spark, tmp_table_dir):
+    """sidecar_async=True moves feed publish + view fold off the epoch
+    critical path (VERDICT r4 next #2: they were a fixed driver-serial
+    slice). The contract: a bounded run with async sidecars — drained
+    via q.w3r_join_sidecars() — produces the IDENTICAL converged table,
+    feed mirror, and view as the synchronous path, maintenance braid
+    included (publish-before-expire still holds because maintenance
+    joins the in-flight pass first)."""
+    src = os.path.join(tmp_table_dir, "ch2")
+    write_changelog_dir(spark, src, 3000, files_per_batch=8)
+
+    def _run(tag, async_flag):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, f"t_{tag}"), PAGES_SCHEMA,
+            key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+        )
+        view = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, f"v_{tag}"),
+            spark.createDataFrame([], PAGES_VIEW_DDL).schema,
+            key=["lang"], version_order=["epoch"], n_buckets=2,
+        )
+        feed = os.path.join(tmp_table_dir, f"f_{tag}")
+        q = run_sync(
+            spark, src, t, os.path.join(tmp_table_dir, f"ck_{tag}"),
+            available_now=True, max_files_per_trigger=2,
+            feed_dir=feed, feed_payloads=True,
+            view=view, view_group="lang", view_value=_vexpr,
+            maintain_every=2, maintain_retain_last=8,
+            sidecar_async=async_flag,
+        )
+        q.awaitTermination()
+        q.w3r_join_sidecars()
+        return t, view, feed
+
+    t_sync, v_sync, f_sync = _run("sync", False)
+    t_async, v_async, f_async = _run("async", True)
+    assert t_async.state_hash() == t_sync.state_hash()
+
+    def _view_rows(v):
+        return sorted(
+            (r["lang"], r["n_rows"], r["total_value"])
+            for r in v.read().select("lang", "n_rows", "total_value").collect()
+        )
+
+    assert _view_rows(v_async) == _view_rows(v_sync)
+
+    def _mirror_hash(feed, src_table, tag):
+        mirror = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, f"m_{tag}"), PAGES_SCHEMA,
+            key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+        )
+        schema = feed_schema(src_table, payloads=True, out_dir=feed)
+        for i, sdir in enumerate(sorted(glob.glob(f"{feed}/s*"))):
+            apply_feed(mirror, spark.read.schema(schema).parquet(sdir), epoch_id=i)
+        return mirror.state_hash()
+
+    assert _mirror_hash(f_async, t_async, "a") == _mirror_hash(
+        f_sync, t_sync, "s"
+    ) == t_sync.state_hash()
+
+
+def test_maintain_cluster_by_in_stream(spark, tmp_table_dir):
+    """--maintain-cluster-by (VERDICT r4 next #7): the in-stream
+    maintenance braid keeps z-order clustering fresh at the compaction
+    cadence. After a bounded sync with maintain_every + cluster-by, a
+    NON-key column range read must skip files via the per-column
+    manifest stats the clustered rewrite recorded — and the converged
+    state must be identical to a plain run (layout-only, like every
+    maintenance op)."""
+    src = os.path.join(tmp_table_dir, "ch3")
+    write_changelog_dir(spark, src, 3000, files_per_batch=8)
+
+    plain = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "plain3"), PAGES_SCHEMA,
+        key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+    )
+    run_sync(
+        spark, src, plain, os.path.join(tmp_table_dir, "ck_p3"),
+        available_now=True, max_files_per_trigger=2,
+    ).awaitTermination()
+
+    clustered = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "clust3"), PAGES_SCHEMA,
+        key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+    )
+    run_sync(
+        spark, src, clustered, os.path.join(tmp_table_dir, "ck_c3"),
+        available_now=True, max_files_per_trigger=2,
+        maintain_every=2, maintain_retain_last=8,
+        maintain_cluster_by=["event_seq"], maintain_cluster_files=6,
+    ).awaitTermination()
+
+    assert clustered.state_hash() == plain.state_hash()
+
+    # the braid left per-column stats behind: a mid-range event_seq
+    # band must skip files, and read identically to the full scan
+    q = clustered.read().approxQuantile("event_seq", [0.4, 0.5], 0.01)
+    lo, hi = int(q[0]), int(q[1])
+    snap = clustered.current_snapshot()
+    _, kept, total = clustered._prune_groups_for_column_range(
+        snap, "event_seq", lo, hi
+    )
+    assert total >= 12 and kept < total
+    got = clustered.read_for_column_range("event_seq", lo, hi).count()
+    want = clustered.read().filter(
+        (F.col("event_seq") >= lo) & (F.col("event_seq") <= hi)
+    ).count()
+    assert got == want > 0

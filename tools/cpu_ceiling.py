@@ -28,21 +28,47 @@ def _burn(n: int) -> int:
     return 1
 
 
-def _run(ctx, workers: int, tasks: int, iters: int) -> float:
+# regex mode: mirrors the extraction pipeline's workload shape — regex
+# sweeps over ~100 KB buffers stress memory bandwidth and branchy
+# scanning, which this VM shares across vCPUs much earlier than raw ALU
+# work does. Its ceiling is the honest upper bound for a Spark job
+# whose hot path is pattern matching over page-sized strings, and it
+# sits measurably BELOW the md5 ceiling at the wider pairs (the gap
+# VERDICT r4 asked to have recorded per pair, not just cited).
+_HTML = (
+    "<div class='a'><p>lorem ipsum dolor sit amet "
+    "<a href='https://example.com/x?q=1'>link text</a> consectetur</p>"
+    "<script>var x = 1;</script><p>adipiscing elit sed do eiusmod</p></div>"
+) * 300  # ~60 KB
+
+
+def _burn_regex(n: int) -> int:
+    import re
+
+    pat = re.compile(r"<p[^>]*>(.*?)</p>|href='([^']+)'|\b(\w{6,})\b")
+    total = 0
+    for _ in range(n):
+        total += sum(1 for _m in pat.finditer(_HTML))
+    return total
+
+
+def _run(ctx, workers: int, tasks: int, iters: int, fn) -> float:
     t0 = time.time()
     with ctx.Pool(workers) as p:
-        p.map(_burn, [iters] * tasks, chunksize=1)
+        p.map(fn, [iters] * tasks, chunksize=1)
     return time.time() - t0
 
 
-def measure(small: int, big: int, repeats: int = 2) -> dict:
+def measure(small: int, big: int, repeats: int = 2, mode: str = "md5") -> dict:
     ctx = mp.get_context("fork")
     tasks = max(big * 8, 64)  # enough tasks that stragglers average out
-    t_small = min(_run(ctx, small, tasks, 200_000) for _ in range(repeats))
-    t_big = min(_run(ctx, big, tasks, 200_000) for _ in range(repeats))
+    fn, iters = (_burn, 200_000) if mode == "md5" else (_burn_regex, 40)
+    t_small = min(_run(ctx, small, tasks, iters, fn) for _ in range(repeats))
+    t_big = min(_run(ctx, big, tasks, iters, fn) for _ in range(repeats))
     return {
         "small": small,
         "big": big,
+        "mode": mode,
         "t_small": round(t_small, 3),
         "t_big": round(t_big, 3),
         "efficiency": round((t_small / t_big) / (big / small), 3),
@@ -52,4 +78,5 @@ def measure(small: int, big: int, repeats: int = 2) -> dict:
 if __name__ == "__main__":
     s = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    print(json.dumps(measure(s, b)))
+    m = sys.argv[3] if len(sys.argv) > 3 else "md5"
+    print(json.dumps(measure(s, b, mode=m)))

@@ -168,6 +168,31 @@ def build_parser() -> argparse.ArgumentParser:
             "and the feed directory (consumers' checkpoints must keep up "
             "with table retention)",
         )
+        p.add_argument(
+            "--maintain-cluster-by",
+            default=None,
+            metavar="COL[,COL...]",
+            help="each in-stream maintenance pass also z-order-clusters "
+            "these columns (rewrite_clustered), keeping NON-key file "
+            "pruning fresh at the compaction cadence instead of via an "
+            "out-of-band `maintain --cluster-by`",
+        )
+        p.add_argument(
+            "--maintain-cluster-files",
+            type=int,
+            default=8,
+            metavar="K",
+            help="target clustered files per bucket for "
+            "--maintain-cluster-by",
+        )
+        p.add_argument(
+            "--async-sidecars",
+            action="store_true",
+            help="run the feed publish + view fold in a background thread "
+            "overlapping the next epoch's merge (both are idempotent and "
+            "crash-healing; maintenance joins the in-flight pass first so "
+            "publish-before-expire ordering holds)",
+        )
 
     init = subs.add_parser("init", help="bounded backfill (drain available changelog)")
     _common(init)
@@ -535,10 +560,18 @@ def main(argv: list[str] | None = None) -> int:
             maintain_blooms=getattr(args, "maintain_blooms", False),
             maintain_min_groups=getattr(args, "maintain_min_groups", 2),
             maintain_expire_feed=getattr(args, "maintain_expire_feed", False),
+            maintain_cluster_by=(
+                getattr(args, "maintain_cluster_by", None).split(",")
+                if getattr(args, "maintain_cluster_by", None)
+                else None
+            ),
+            maintain_cluster_files=getattr(args, "maintain_cluster_files", 8),
             write_mode=getattr(args, "write_mode", None),
+            sidecar_async=getattr(args, "async_sidecars", False),
         )
         if args.cmd == "init":
             q.awaitTermination()
+            q.w3r_join_sidecars()
             print(
                 json.dumps(
                     {

@@ -110,7 +110,10 @@ def run_sync(
     maintain_blooms: bool = False,
     maintain_min_groups: int = 2,
     maintain_expire_feed: bool = False,
+    maintain_cluster_by: list[str] | None = None,
+    maintain_cluster_files: int = 8,
     write_mode: str | None = None,
+    sidecar_async: bool = False,
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
@@ -184,6 +187,32 @@ def run_sync(
     steady MoR ingest set it to the resolve budget so cold buckets a
     couple of deltas deep aren't rewritten every pass.
 
+    ``maintain_cluster_by`` (with ``maintain_every``) extends each
+    maintenance pass with a z-order clustered rewrite of the named
+    columns (``rewrite_clustered`` — VERDICT r4 next #7): a
+    long-running ingest keeps NON-key file pruning fresh at the same
+    cadence as compaction, instead of requiring an out-of-band
+    ``maintain --cluster-by``. Runs right after compaction (so it
+    clusters the folded generations, and Bloom sidecars — built last —
+    cover the clustered files); under MoR the clustered-read carve-out
+    applies as ever (delta'd buckets are never value-pruned until the
+    next fold).
+
+    ``sidecar_async=True`` moves the feed publish + view fold OFF the
+    epoch critical path: they run in a background thread that OVERLAPS
+    the next epoch's merge (VERDICT r4 next #2 — they were a fixed
+    driver-serial slice per epoch). Safe by the same properties that
+    make them crash-healing: both are idempotent, read immutable
+    committed snapshots, and telescope across spans — a fold that
+    observes a newer base snapshot simply consumes further and the next
+    pass skips. Ordering is preserved where it matters: at most one
+    sidecar thread is in flight (joined before the next spawns), and
+    maintenance joins it first so publish-before-expire still holds.
+    After ``awaitTermination`` one sidecar pass may still be in flight;
+    the returned query carries ``w3r_join_sidecars()`` to drain it
+    (bounded sync/backfill callers should call it; a tailing pipeline
+    never needs to — the next epoch's pass heals).
+
     ``source`` overrides the default file-stream reader with any
     pre-built streaming DataFrame in CHANGELOG_SCHEMA shape — e.g.
     ``sources.kafka_wire.stream_changelog_wire`` (or a real
@@ -204,6 +233,30 @@ def run_sync(
 
     applied_since_maintain = 0
     epoch_base = _epoch_base(table, checkpoint_dir)
+    sidecar_state: dict = {"thread": None, "error": None}
+
+    def _run_sidecars() -> None:
+        try:
+            if feed_dir is not None:
+                from web3research_etl_spark.lake.cdc_feed import publish_changes
+
+                publish_changes(table, feed_dir, payloads=feed_payloads)
+            if view is not None:
+                from web3research_etl_spark.operators.ivm import sync_view
+
+                sync_view(view, table, view_group, view_value)
+        except Exception as e:  # surfaced at the next join point
+            sidecar_state["error"] = e
+
+    def _join_sidecars() -> None:
+        t = sidecar_state["thread"]
+        if t is not None:
+            t.join()
+            sidecar_state["thread"] = None
+        err = sidecar_state["error"]
+        if err is not None:
+            sidecar_state["error"] = None
+            raise err
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal applied_since_maintain
@@ -216,22 +269,33 @@ def run_sync(
             salt_partitions=salt_partitions,
             write_mode=write_mode,
         )
-        if feed_dir is not None:
-            from web3research_etl_spark.lake.cdc_feed import publish_changes
+        if sidecar_async:
+            import threading
 
-            publish_changes(table, feed_dir, payloads=feed_payloads)
-        if view is not None:
-            from web3research_etl_spark.operators.ivm import sync_view
-
-            sync_view(view, table, view_group, view_value)
+            # previous epoch's pass overlapped THIS epoch's merge; join
+            # it (at most one in flight), then launch this epoch's
+            _join_sidecars()
+            t = threading.Thread(target=_run_sidecars, daemon=True)
+            sidecar_state["thread"] = t
+            t.start()
+        else:
+            _run_sidecars()
         if maintain_every and not res.get("skipped"):
             applied_since_maintain += 1
             if applied_since_maintain >= maintain_every:
                 applied_since_maintain = 0
+                # publish-before-expire: the in-flight sidecar pass (if
+                # async) must land before maintenance expires snapshots
+                _join_sidecars()
                 table.rewrite_small_files(
                     target_min_files_per_bucket=max(1, maintain_min_groups - 1),
                     min_groups=maintain_min_groups,
                 )
+                if maintain_cluster_by:
+                    table.rewrite_clustered(
+                        maintain_cluster_by,
+                        files_per_bucket=maintain_cluster_files,
+                    )
                 table.expire_snapshots(retain_last=maintain_retain_last)
                 if maintain_expire_feed and feed_dir is not None:
                     from web3research_etl_spark.lake.cdc_feed import expire_feed
@@ -249,4 +313,8 @@ def run_sync(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    q = writer.start()
+    # drain hook for bounded runs: after awaitTermination one async
+    # sidecar pass may still be in flight
+    q.w3r_join_sidecars = _join_sidecars
+    return q
