@@ -892,10 +892,14 @@ def _adaptive_scaling(
             and PROBE_MIN <= probes[-1] <= PROBE_MAX,
         }
 
+    big_skip_once = False
     while True:
         if not small_frozen:
             runs_small.append(bench_cdc_subprocess(small, gen_dir, CDC_EVENTS))
-        runs_big.append(bench_cdc_subprocess(big, gen_dir, CDC_EVENTS))
+        if big_skip_once:
+            big_skip_once = False
+        else:
+            runs_big.append(bench_cdc_subprocess(big, gen_dir, CDC_EVENTS))
         probes.append(_machine_scaling_ceiling(small, big))
         wl_probes.append(_machine_scaling_ceiling(small, big, mode="regex"))
         r_small = _compose_min_epochs(runs_small, CDC_EVENTS)
@@ -949,15 +953,34 @@ def _adaptive_scaling(
         # deadline is what reserves time for the query and write-mode
         # stages behind it. Estimate from the LAST observed leg walls
         # (+60 s measured subprocess-startup + hw-probe overhead).
-        est_next = (
-            (0 if small_frozen else runs_small[-1]["wall_sec"])
-            + runs_big[-1]["wall_sec"]
-            + 60
-        )
-        if time.time() + est_next > deadline:
+        est_small = 0 if small_frozen else runs_small[-1]["wall_sec"]
+        est_big = runs_big[-1]["wall_sec"]
+        if time.time() + est_small + est_big + 60 > deadline:
+            # The remaining budget can't fit a full interleaved cycle.
+            # Before giving up, spend what's left on the DEPRESSED side
+            # alone — min-composition only needs one clean draw at the
+            # contaminated level. Without this a catastrophically
+            # contended FIRST pair wedges the stage at its dirty reading
+            # (observed 2026-08-19 23:20: pair-1 legs 2-7x over clean
+            # floor, eff 0.196; est_next computed FROM those contended
+            # walls predicted no room for pair 2 and the stage stopped
+            # at one dirty pair).
+            if eff < EFF_STOP and time.time() + est_big + 60 <= deadline:
+                small_frozen = True  # draw the depressed big side only
+                continue
+            if (
+                eff > EFF_CAP
+                and not small_frozen
+                and time.time() + est_small + 60 <= deadline
+            ):
+                big_skip_once = True  # draw the depressed small side only
+                continue
             break
     ceiling = probes[-1]
-    _append_bench_md(r_small, r_big, eff, ceiling, probes=probes, primary=primary)
+    _append_bench_md(
+        r_small, r_big, eff, ceiling, probes=probes, primary=primary,
+        wl_probes=wl_probes,
+    )
     return _mk_out()
 
 
@@ -1043,6 +1066,7 @@ def _append_bench_md(
     ceiling: float = 0.0,
     probes: list[float] | None = None,
     primary: bool = True,
+    wl_probes: list[float] | None = None,
 ) -> None:
     import datetime
 
@@ -1065,7 +1089,8 @@ def _append_bench_md(
             f"| {r_big['cpus']} | {r_big['steady_events_per_sec']} "
             f"| {round(eff, 3)} (whole-run {r_small['events_per_sec']}→{r_big['events_per_sec']}, "
             f"repeats {r_small['repeats']}+{r_big['repeats']}, "
-            f"hw probes {probes or [ceiling]}){tag} |\n"
+            f"hw probes {probes or [ceiling]}, wl probes {wl_probes or []}, "
+            f"serial frac {r_small.get('serial_frac')}→{r_big.get('serial_frac')}){tag} |\n"
         )
 
 
