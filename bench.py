@@ -240,12 +240,42 @@ def compact_headline_line(result: dict) -> str:
     return line
 
 
+def _stop_spark_hard(spark) -> None:
+    """stop() alone leaves the py4j JVM alive for the life of this
+    python process; a stopped-but-idle local[32] JVM with a multi-GB
+    heap was MEASURED burning 25-300% CPU (GC + cleaner threads)
+    through the SUBPROCESS scaling legs that run after it — the bench
+    contending with itself, dirtying the very windows it measures
+    (observed 2026-08-20 00:10: run-2's gen JVM at 25% average 21 min
+    after its stage ended, while the local[1] leg ran 3x over its
+    clean floor). Shut the py4j gateway down and kill the JVM child so
+    each in-process stage's JVM dies WITH its stage; pyspark relaunches
+    a fresh gateway transparently on the next session."""
+    from pyspark import SparkContext
+
+    spark.stop()
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+        proc = getattr(gw, "proc", None)
+        if proc is not None:
+            try:
+                proc.terminate()
+            except Exception:
+                pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+
+
 def _fresh_spark(cpus: int, app: str):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
     if active is not None:
-        active.stop()
+        _stop_spark_hard(active)
     from web3research_etl_spark.session import get_spark
 
     return get_spark(app_name=app, master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -656,7 +686,7 @@ def main() -> None:
         spark, gen_dir, CDC_EVENTS, files_per_batch=96,
         body_paragraphs=BODY_PARAS, pages_per_domain=max(200, CDC_EVENTS // 100),
     )
-    spark.stop()  # free the 32-thread JVM while subprocess legs run
+    _stop_spark_hard(spark)  # the JVM must DIE, not idle-burn through the legs
     emit("generate")
 
     # --- stage 1 (MANDATORY FIRST — the north rule's evidence): the
@@ -699,7 +729,7 @@ def main() -> None:
     queries, _ = bench_queries(
         spark, deadline=deadline - max(stage3_reserve, 120), on_round=_on_round
     )
-    spark.stop()
+    _stop_spark_hard(spark)
     result["stages_done"].append("queries")
 
     # --- stage 3: strictly-remaining-budget extras, in value order.
