@@ -264,6 +264,7 @@ def _stop_spark_hard(spark) -> None:
         if proc is not None:
             try:
                 proc.terminate()
+                proc.wait(timeout=10)  # reap — no zombie per stage
             except Exception:
                 pass
     SparkContext._gateway = None
