@@ -168,3 +168,66 @@ def test_compose_min_epochs_carries_serial_breakdown():
     assert out["min_epoch_serial_ms"] == [800, 500, 400]
     # steady window = epochs 2..n: (500+400)/(8800+7900)
     assert out["serial_frac"] == round(900 / 16700, 4)
+
+
+# ---------------------------------------------------------------------------
+# _adaptive_scaling deadline semantics: a sub-bar verdict may overrun the
+# stage's fair-share deadline into the stage-3 reserve (extend_deadline);
+# a green verdict never extends (clean-window runs keep the full stage-3
+# roster). Draws are simulated — no Spark, no subprocesses.
+# ---------------------------------------------------------------------------
+
+def _fake_draw(big_epoch_ms: int):
+    """bench_cdc_subprocess stand-in: local[1] epochs are 10 s, the big
+    leg's come from the test (eff = 10000 / (4 * big_epoch_ms))."""
+
+    def draw(cpus, gen_dir, n_events, **kw):
+        ms = 10000 if cpus == 1 else big_epoch_ms
+        return {
+            "cpus": cpus,
+            "wall_sec": 0.001,
+            "events_per_sec": 1000.0 * cpus,
+            "batch_ms": [ms, ms, ms, ms],
+            "epoch_serial_ms": [0.0] * 4,
+            "converged_rows": 42,
+        }
+
+    return draw
+
+
+def _run_scaling(monkeypatch, big_epoch_ms, deadline, extend):
+    import time as _time
+
+    monkeypatch.setattr(bench, "bench_cdc_subprocess", _fake_draw(big_epoch_ms))
+    monkeypatch.setattr(bench, "_machine_scaling_ceiling", lambda *a, **k: 0.95)
+    monkeypatch.setattr(bench, "_append_bench_md", lambda *a, **k: None)
+    now = _time.time()
+    return bench._adaptive_scaling(
+        1, 4, "/nonexistent", deadline=now + deadline, primary=True,
+        extend_deadline=(now + extend) if extend is not None else None,
+    )
+
+
+def test_sub_bar_verdict_stops_at_fair_share_without_extension(monkeypatch):
+    # eff = 10000/(4*3570) ≈ 0.70 — sub-bar; soft deadline already past
+    out = _run_scaling(monkeypatch, 3570, deadline=-1.0, extend=None)
+    assert out["scaling_efficiency"] < bench.EFF_STOP
+    # thin-evidence break: one pair, no budget left
+    assert out["repeats_used"] == [1, 1]
+
+
+def test_sub_bar_verdict_extends_into_stage3_reserve(monkeypatch):
+    out = _run_scaling(monkeypatch, 3570, deadline=-1.0, extend=300.0)
+    assert out["scaling_efficiency"] < bench.EFF_STOP
+    # kept drawing the depressed big side up to the draw cap instead of
+    # stopping at the (already-past) fair-share deadline
+    assert out["repeats_used"][1] == bench.MAX_REPEATS * 2
+    # small side froze once its floor stopped improving
+    assert out["repeats_used"][0] <= 3
+
+
+def test_green_verdict_never_extends(monkeypatch):
+    # eff = 10000/(4*2770) ≈ 0.90 — green early-stop at min_reps pairs
+    out = _run_scaling(monkeypatch, 2770, deadline=120.0, extend=3600.0)
+    assert out["scaling_efficiency"] >= bench.EFF_STOP
+    assert out["repeats_used"] == [bench.REPEATS, bench.REPEATS]
