@@ -894,7 +894,15 @@ def q_doc_postings_incremental(spark, sf_dir):
     corpus re-scan. Returned: term stats derived from the live postings
     (df = live pair count, cf = Σtf). The oracle recomputes them from
     scratch over the FINAL corpus (everything except doc_id % 10 == 0):
-    equality proves the delta fold is exact, deletes included."""
+    equality proves the delta fold is exact, deletes included.
+
+    Gate wall-time note: like cdc_ivm_event_type, the measured seconds
+    are the END-TO-END pipeline built inside the query — two
+    merge_changelog epochs into a fresh LakeTable, the bootstrap index
+    build (the one amortized corpus pass), and two index syncs — not
+    the fold itself. The incremental fold reads only epoch-2 deltas;
+    its cost is O(changed docs), which is the property that matters at
+    10^10 docs where a rebuild is a full corpus scan."""
     from web3research_etl_spark.lake.table import LakeTable
     from web3research_etl_spark.operators.search_ivm import (
         create_search_index,
