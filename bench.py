@@ -110,6 +110,17 @@ PROBE_MAX = float(os.environ.get("BENCH_PROBE_MAX", "1.02"))
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
 # CoW-vs-MoR write-amplification comparison (one extra pair of runs)
 MOR_COMPARE = os.environ.get("BENCH_MOR", "1") == "1"
+# AQE advisory partition size override for the CDC legs (e.g. "6m").
+# Session default is 16m (sized for the payload/pandas-UDF stages); at
+# the sandbox's tiny per-epoch batches 16m coalesces payload stages to
+# ~1-2 task waves on the 8-wide leg, so one straggler task costs a
+# whole wave (+25-100% on that epoch) — a quantization term the
+# 10^10-event target doesn't have (partitions ≫ cores there). Applied
+# identically to BOTH legs of a pair, so the work decomposition stays
+# level-independent. Empty = session default.
+LEG_ADVISORY = os.environ.get("BENCH_LEG_ADVISORY", "")
+# shuffle-partition override for the CDC legs (same both legs)
+LEG_SHUFFLE = int(os.environ.get("BENCH_LEG_SHUFFLE", "32"))
 
 BENCH_QUERIES = [
     "cdc_lww_converged",
@@ -404,14 +415,17 @@ def bench_cdc(
     # same shuffle hash placement, same file layout — and tasks simply
     # schedule across however many cores exist. Partition count follows
     # the DATA (as it would at 10^10 events), not the cluster size.
+    leg_conf = {
+        "spark.sql.files.maxPartitionBytes": "2m",
+        "spark.sql.files.openCostInBytes": "256k",
+    }
+    if LEG_ADVISORY:
+        leg_conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = LEG_ADVISORY
     spark = get_spark(
         app_name=f"bench-cdc-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=32,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "2m",
-            "spark.sql.files.openCostInBytes": "256k",
-        },
+        shuffle_partitions=LEG_SHUFFLE,
+        extra_conf=leg_conf,
     )
     work = tempfile.mkdtemp(prefix=f"bench_cdc_{cpus}_")
     table = LakeTable.create(
@@ -525,6 +539,9 @@ def bench_cdc(
         "epoch_serial_detail": serial_detail,
         "data_bytes_written": data_bytes,
         "data_files_written": data_files,
+        # self-description: the exact leg tuning (identical across both
+        # levels of a pair, so the decomposition stays level-independent)
+        "leg_conf": {"shuffle_partitions": LEG_SHUFFLE, **leg_conf},
     }
     if probe is not None:
         out["bloom_probe"] = probe
