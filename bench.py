@@ -187,6 +187,11 @@ def _pair_headline(d: dict | None) -> dict | None:
         ("workload_probe_history", "wl_probes"),
         ("serial_adjusted_efficiency", "serial_adj_eff"),
         ("driver_serial_frac", "serial_frac"),
+        # the machine-attribution verdict: efficiency measured against
+        # the regex/memory-bandwidth probe's ceiling for THIS pair in
+        # THIS window (what the engine could at best express here)
+        ("efficiency_vs_workload_ceiling", "eff_vs_wl"),
+        ("machine_cpu_scaling_ceiling", "hw_ceiling"),
     ):
         if d.get(src) is not None:
             out[dst] = d[src]

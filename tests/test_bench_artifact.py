@@ -47,6 +47,7 @@ def _worst_case_result() -> dict:
             "workload_probe_history": probes,
             "probe_median": 0.94,
             "efficiency_vs_machine_ceiling": 0.92,
+            "efficiency_vs_workload_ceiling": 0.868,
             "window_clean": True,
             "serial_adjusted_efficiency": 0.91,
             "driver_serial_frac": 0.123,
