@@ -312,6 +312,75 @@ def q_cdc_changes_between(spark, sf_dir):
     return chg.select("url", "change_type", "new_event_id", "old_event_id")
 
 
+def q_cdc_rollback_replay(spark, sf_dir):
+    """Snapshot rollback + replay reconvergence (SURVEY P11 at epoch
+    granularity; Iceberg rollback_to_snapshot): apply two epochs, ROLL
+    BACK to the epoch-0 snapshot — which restores both the data state
+    and the committed-epochs ledger, REOPENING epoch 1 — then replay
+    epoch 1's changelog and read the head. Must equal the pure-SQL LWW
+    over the FULL changelog: the replay-convergence property of the
+    north rule, exercised through the reorg path instead of a clean
+    run. The rollback commit is metadata-only (the target's file groups
+    re-listed under a new snapshot id; no data movement), and the
+    ledger rewind is what makes the replay exactly-once-correct rather
+    than exactly-once-blocked."""
+    from web3research_etl_spark.lake.table import LakeTable  # noqa: F401
+
+    t, snap_a, snap_b = _two_epoch_state_table(spark, sf_dir)
+    res = t.rollback_to(snap_a)
+    assert res["reopened_epochs"] == [1], res
+    ch = _events_changelog(spark, sf_dir).select(
+        "op", "url", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    replay = t.merge_changelog(ch.filter(F.col("event_id") % 2 == 1), epoch_id=1)
+    assert replay["skipped"] is False, replay
+    return t.read().select(
+        "url",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+def q_cdc_wap_publish(spark, sf_dir):
+    """Write-audit-publish staging (Iceberg wap.id) under the oracle
+    gate: epoch 0 merges normally; epoch 1 merges with
+    ``stage_wap_id`` — a full CoW merge whose snapshot stays INVISIBLE
+    to readers and to the epoch ledger; the audit surface
+    (``audit_staged`` = read_changes from the staged snapshot's
+    parent) yields exactly the diff publish will apply; then
+    ``publish_staged`` fast-forwards it (one metadata commit, zero
+    data movement). Returns the audit diff, checked against the same
+    two-state SQL oracle as cdc_changes_between — and the query
+    asserts the publish actually bound the epoch marker, so the audit
+    gate composes with exactly-once instead of weakening it."""
+    from web3research_etl_spark.lake.table import LakeTable
+
+    ch = _events_changelog(spark, sf_dir).select(
+        "op", "url", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    d = _query_scratch_dir("drv_wap")
+    t = LakeTable.create(
+        spark, f"{d}/t", _EVENTS_STATE_SCHEMA(),
+        key=["url"], version_order=["ts", "event_id"], n_buckets=8,
+    )
+    t.merge_changelog(ch.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    t.merge_changelog(
+        ch.filter(F.col("event_id") % 2 == 1), epoch_id=1, stage_wap_id="audit-1"
+    )
+    assert 1 not in t.committed_epochs()  # staged ≠ committed
+    audit = t.audit_staged("audit-1").select(
+        "url", "change_type", "new_event_id", "old_event_id"
+    )
+    pub = t.publish_staged("audit-1")
+    assert pub["already_published"] is False and 1 in t.committed_epochs()
+    # the staged manifest outlives publish, so the lazily-returned audit
+    # DataFrame still resolves when the driver collects it
+    return audit
+
+
 def q_cdc_feed(spark, sf_dir):
     """The materialized CDC feed under the oracle gate: publish both
     epochs' per-snapshot diffs (lake/cdc_feed.publish_changes — each
@@ -1629,6 +1698,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_pii_scrub": q_doc_pii_scrub,
+        # -- NEW in r5 (post-gate-freeze, seated OUTSIDE the window so
+        #    the pinned roster stands; locally oracle-checked; r6-window
+        #    candidates) ---------------------------------------------
+        "cdc_rollback_replay": q_cdc_rollback_replay,
+        "cdc_wap_publish": q_cdc_wap_publish,
     }
 
 
@@ -2941,5 +3015,44 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS est_distinct
             FROM agg
+        """,
+        # rollback + replay must land on the same converged state as a
+        # clean end-to-end run: the FULL-changelog LWW oracle (identical
+        # to cdc_merge_state's — write-path/reorg independence of the
+        # converged state is exactly the contract under test)
+        "cdc_rollback_replay": f"""
+            {lww}
+            SELECT url, event_id AS last_event_id, event_type AS last_event_type,
+                   round(value, 2) AS last_value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        # the WAP audit diff is read_changes(parent, staged) — the same
+        # two-state diff cdc_changes_between pins, because a staged merge
+        # must produce byte-identical changes to an unstaged one
+        "cdc_wap_publish": f"""
+            WITH changelog AS ({_CHANGELOG_SQL}),
+            a_ranked AS (
+              SELECT url, op, event_id,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog WHERE event_id % 2 = 0
+            ),
+            a_live AS (SELECT url, event_id FROM a_ranked WHERE rn = 1 AND op <> 'D'),
+            b_ranked AS (
+              SELECT url, op, event_id,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog
+            ),
+            b_win AS (SELECT url, op, event_id FROM b_ranked WHERE rn = 1)
+            SELECT b.url AS url,
+                   CASE WHEN a.url IS NULL THEN 'insert'
+                        WHEN b.op = 'D' THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   b.event_id AS new_event_id,
+                   a.event_id AS old_event_id
+            FROM b_win b LEFT JOIN a_live a ON a.url = b.url
+            WHERE (a.url IS NULL AND b.op <> 'D')
+               OR (a.url IS NOT NULL AND (b.op = 'D' OR a.event_id <> b.event_id))
         """,
     }

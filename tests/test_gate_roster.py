@@ -59,6 +59,12 @@ ROTATED_OUT = {
     "doc_decontaminate", "doc_repetition_stats", "doc_pii_scrub",
 }
 
+# Registered AFTER the r5 gate window froze (rollback/WAP landed once
+# the 50-seat roster above was already certified-in-flight): seated in
+# the tail so the pinned window stands; locally oracle-checked; the
+# natural r6-window candidates.
+TAIL_NEW_R5 = {"cdc_rollback_replay", "cdc_wap_publish"}
+
 
 def test_gate_window_is_exactly_the_declared_roster():
     names = list(entry_mod.queries().keys())
@@ -70,7 +76,7 @@ def test_gate_window_is_exactly_the_declared_roster():
         sorted(window - R5_WINDOW),
         sorted(R5_WINDOW - window),
     )
-    assert set(names[GATE_WINDOW_SIZE:]) == ROTATED_OUT
+    assert set(names[GATE_WINDOW_SIZE:]) == ROTATED_OUT | TAIL_NEW_R5
 
 
 def test_every_registered_query_has_an_oracle_or_a_documented_gap():

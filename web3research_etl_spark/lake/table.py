@@ -284,20 +284,32 @@ class LakeTable:
         return os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
 
     def current_snapshot(self) -> dict:
-        """Newest committed snapshot. The source of truth is the highest
+        """Newest PUBLISHED snapshot. The source of truth is the highest
         claimed manifest (manifests are fully written THEN atomically
         hard-linked into place, so every listed ``v*.json`` is complete
         and its data files — written before the claim — all exist); the
         ``_current.json`` pointer is advisory, kept for observability.
         Max-id semantics make the multi-writer pointer race harmless: a
-        slow loser can never regress what readers see."""
+        slow loser can never regress what readers see.
+
+        Write-audit-publish staging (Iceberg's ``wap.id`` snapshots):
+        a snapshot carrying a ``staged`` marker has claimed its id but
+        is NOT part of the published chain — readers walk past it to
+        the newest unstaged manifest. The common unstaged case stays
+        one manifest read."""
         ids = self.snapshot_ids()
         if not ids:
             # surface the same error shape load() has always promised
             with open(os.path.join(self.meta_dir, "_current.json")) as f:
                 version = json.load(f)["version"]
             return self.snapshot(version)
-        return self.snapshot(ids[-1])
+        for i in reversed(ids):
+            snap = self.snapshot(i)
+            if "staged" not in snap:
+                return snap
+        raise FileNotFoundError(
+            f"no published snapshot in {self.meta_dir} (staged only)"
+        )
 
     def snapshot(self, snapshot_id: int) -> dict:
         with open(self._snap_path(snapshot_id)) as f:
@@ -329,6 +341,10 @@ class LakeTable:
             raise CommitConflictError(f"snapshot collision: {path}") from None
         finally:
             os.unlink(tmp)
+        if "staged" in snap:
+            # staged snapshots never move the advisory pointer — they
+            # are invisible to readers until publish_staged()
+            return
         cur_path = os.path.join(self.meta_dir, "_current.json")
         try:
             with open(cur_path) as f:
@@ -417,7 +433,9 @@ class LakeTable:
         new = dict(snap)
         new["key"] = [renames.get(c, c) for c in snap["key"]]
         new["version_order"] = [renames.get(c, c) for c in snap["version_order"]]
-        new["snapshot_id"] = snap["snapshot_id"] + 1
+        # claim above ALL ids (a staged WAP snapshot may hold a higher
+        # id than the published head this alter builds on)
+        new["snapshot_id"] = self.snapshot_ids()[-1] + 1
         new["parent"] = snap["snapshot_id"]
         new["operation"] = "alter"
         new["current_schema_id"] = new_schema_id
@@ -831,6 +849,7 @@ class LakeTable:
         pre_write_transform=None,
         winner_join: str | None = None,
         write_mode: str | None = None,
+        stage_wap_id: str | None = None,
     ) -> dict:
         """MERGE INTO: apply a changelog batch (op ∈ I/U/D).
 
@@ -881,6 +900,17 @@ class LakeTable:
         conflicts two delta writers, or a delta writer with a
         compactor). ``force_replace`` requires reading stored keys
         and is CoW-only.
+
+        ``stage_wap_id``: write-audit-publish (Iceberg's
+        ``spark.wap.id``). The merge runs in full — LWW, tombstones,
+        data files, epoch marker — but the snapshot it claims carries a
+        ``staged`` tag, so readers (and every later commit) keep seeing
+        the pre-merge published head. Audit the staged result with
+        ``read_staged``/``audit_staged``, then ``publish_staged`` to
+        fast-forward it into the published chain or ``abandon_staged``
+        to drop it (files GC as orphans). The epoch marker only binds
+        at publish: an unpublished epoch re-merges on retry, exactly
+        the exactly-once contract extended with an audit gate.
         """
         _check_epoch_id(epoch_id)
         # Per-epoch driver-serial instrumentation (VERDICT r4 next #2):
@@ -1038,13 +1068,13 @@ class LakeTable:
             # always succeeds (seq is refreshed to the rebased id)
             res = self._commit_data(
                 snap, new_id, "merge-delta", new_groups, epoch_id, summary_extra,
-                touched=set(), new_entries=new_entries,
+                touched=set(), new_entries=new_entries, staged_wap=stage_wap_id,
             )
         else:
             new_groups = keep_groups + new_entries
             res = self._commit_data(
                 snap, new_id, "merge", new_groups, epoch_id, summary_extra,
-                touched=touched_set, new_entries=new_entries,
+                touched=touched_set, new_entries=new_entries, staged_wap=stage_wap_id,
             )
         if res.get("already_committed"):
             # a concurrent retry of the SAME epoch won the commit race —
@@ -1202,6 +1232,7 @@ class LakeTable:
         summary_extra: dict | None,
         touched: set[int] | None = None,
         new_entries: list[dict] | None = None,
+        staged_wap: str | None = None,
     ) -> dict:
         """Commit a data snapshot on top of ``snap`` with optimistic
         concurrency (Iceberg's commit loop). If another writer claimed
@@ -1241,15 +1272,18 @@ class LakeTable:
             new["operation"] = operation
             new["file_groups"] = file_groups
             new["summary"] = summary
+            if staged_wap is not None:
+                new["staged"] = {"wap_id": staged_wap}
             try:
                 self._commit(new)
                 return {"snapshot_id": new_id}
             except CommitConflictError:
-                latest = self.current_snapshot()
-                if latest["snapshot_id"] < new_id:
+                top = self.snapshot_ids()[-1]
+                if top < new_id:
                     # claim raced our own retry loop's stale listing;
                     # re-listing resolves it next iteration
                     raise
+                latest = self.current_snapshot()
                 if epoch_id is not None and epoch_id in set(
                     latest["summary"].get("committed_epochs", [])
                 ):
@@ -1257,39 +1291,45 @@ class LakeTable:
                         "already_committed": True,
                         "snapshot_id": latest["snapshot_id"],
                     }
-                if touched is None or new_entries is None:
-                    raise
-                if any(
-                    latest[k] != base[k]
-                    for k in ("current_schema_id", "key", "version_order", "n_buckets")
-                ):
-                    raise CommitConflictError(
-                        "concurrent schema/spec change; re-run the operation"
-                    ) from None
+                if latest["snapshot_id"] != base["snapshot_id"]:
+                    # the PUBLISHED head advanced — rebase only when
+                    # metadata proves the two commits linearize
+                    if touched is None or new_entries is None:
+                        raise
+                    if any(
+                        latest[k] != base[k]
+                        for k in ("current_schema_id", "key", "version_order", "n_buckets")
+                    ):
+                        raise CommitConflictError(
+                            "concurrent schema/spec change; re-run the operation"
+                        ) from None
 
-                def _paths_by_bucket(s: dict) -> dict[int, tuple]:
-                    out: dict[int, list] = {}
-                    for fg in s["file_groups"]:
-                        out.setdefault(fg["bucket"], []).append(
-                            (fg["schema_id"], tuple(sorted(fg["paths"])))
-                        )
-                    return {b: tuple(sorted(v)) for b, v in out.items()}
+                    def _paths_by_bucket(s: dict) -> dict[int, tuple]:
+                        out: dict[int, list] = {}
+                        for fg in s["file_groups"]:
+                            out.setdefault(fg["bucket"], []).append(
+                                (fg["schema_id"], tuple(sorted(fg["paths"])))
+                            )
+                        return {b: tuple(sorted(v)) for b, v in out.items()}
 
-                pb, pl = _paths_by_bucket(base), _paths_by_bucket(latest)
-                overlap = [b for b in touched if pb.get(b) != pl.get(b)]
-                if overlap:
-                    raise CommitConflictError(
-                        f"concurrent commit rewrote touched bucket(s) {overlap}; "
-                        "re-run the merge against current state"
-                    ) from None
-                file_groups = [
-                    fg for fg in latest["file_groups"] if fg["bucket"] not in touched
-                ] + new_entries
-                base = latest
-                new_id = latest["snapshot_id"] + 1
+                    pb, pl = _paths_by_bucket(base), _paths_by_bucket(latest)
+                    overlap = [b for b in touched if pb.get(b) != pl.get(b)]
+                    if overlap:
+                        raise CommitConflictError(
+                            f"concurrent commit rewrote touched bucket(s) {overlap}; "
+                            "re-run the merge against current state"
+                        ) from None
+                    file_groups = [
+                        fg for fg in latest["file_groups"] if fg["bucket"] not in touched
+                    ] + new_entries
+                    base = latest
+                # else: only STAGED claims took our id — the published
+                # state is unchanged, so the commit content stands and
+                # just re-claims above the staged ids
+                new_id = top + 1
                 # delta seq must equal the id actually committed — the
                 # read-side LWW tie-break orders generations by it
-                for e in new_entries:
+                for e in new_entries or []:
                     if e.get("delta"):
                         e["seq"] = new_id
 
@@ -1940,6 +1980,178 @@ class LakeTable:
                 os.remove(fp)
                 removed.append(rel)
         return {"data_files_removed": len(removed), "paths": sorted(removed)}
+
+    # ------------------------------------------------- rollback / WAP
+    def rollback_to(self, snapshot_id: int) -> dict:
+        """Coarse-grained reorg recovery (Iceberg's
+        ``rollback_to_snapshot``): commit a NEW snapshot whose data
+        state is the target's. History is append-only — nothing is
+        deleted, time travel still sees the undone commits until
+        ``expire_snapshots`` — and downstream CDC consumers need no
+        special case: ``read_changes(old_head, rollback_id)`` is a
+        state diff, so it emits exactly the inverse row changes.
+
+        Two deliberate semantics beyond moving the head:
+
+        - **schema stays current** (Iceberg-faithful: rollback moves
+          the snapshot, not the table schema). The target's file
+          groups carry their own ``schema_id`` and the schemas dict is
+          append-only by field id, so old files read back through the
+          live schema — and the rename-tracked key/version-order specs
+          keep working. Only ``n_buckets`` is restored from the target
+          (it describes the restored file layout).
+        - **the idempotence ledger rewinds with the data**:
+          ``committed_epochs`` is restored to the target's, so the
+          undone epochs are REOPENED — replaying the changelog from
+          the rollback point reconverges to the identical head state
+          (the reference's delete-then-reinsert reorg, SURVEY §2 P11,
+          at snapshot granularity instead of key granularity).
+
+        Finer-grained alternatives when you don't want to undo whole
+        epochs: key-level ``force_replace`` heal, or tombstones.
+        """
+        target = self.snapshot(snapshot_id)  # raises if expired
+        if "staged" in target:
+            raise ValueError(
+                f"snapshot {snapshot_id} is staged (wap_id="
+                f"{target['staged']['wap_id']!r}); publish or abandon it instead"
+            )
+        while True:
+            cur = self.current_snapshot()
+            if cur["snapshot_id"] == snapshot_id:
+                return {"skipped": True, "snapshot_id": snapshot_id}
+            new = dict(cur)  # schemas / current_schema_id / next_field_id stay current
+            new["snapshot_id"] = self.snapshot_ids()[-1] + 1
+            new["parent"] = cur["snapshot_id"]
+            new["operation"] = "rollback"
+            new["file_groups"] = target["file_groups"]
+            new["n_buckets"] = target["n_buckets"]
+            summary = dict(target["summary"])
+            summary["rolled_back_to"] = snapshot_id
+            summary["rolled_back_from"] = cur["snapshot_id"]
+            new["summary"] = summary
+            try:
+                self._commit(new)
+                return {
+                    "skipped": False,
+                    "snapshot_id": new["snapshot_id"],
+                    "rolled_back_to": snapshot_id,
+                    "reopened_epochs": sorted(
+                        set(cur["summary"].get("committed_epochs", []))
+                        - set(summary.get("committed_epochs", [])),
+                        key=str,
+                    ),
+                }
+            except CommitConflictError:
+                if self.current_snapshot()["snapshot_id"] != cur["snapshot_id"]:
+                    raise  # a real commit landed mid-rollback: re-decide
+                # a staged claim took the id; re-claim above it
+
+    def staged_snapshots(self) -> list[dict]:
+        """All unpublished WAP snapshots, oldest first."""
+        out = []
+        for i in self.snapshot_ids():
+            snap = self.snapshot(i)
+            if "staged" in snap:
+                out.append(
+                    {
+                        "snapshot_id": i,
+                        "wap_id": snap["staged"]["wap_id"],
+                        "parent": snap["parent"],
+                    }
+                )
+        return out
+
+    def _find_staged(self, wap_id: str) -> dict:
+        hits = [s for s in self.staged_snapshots() if s["wap_id"] == wap_id]
+        if not hits:
+            raise KeyError(
+                f"no staged snapshot with wap_id={wap_id!r} (published, "
+                "abandoned, or expired)"
+            )
+        return self.snapshot(hits[-1]["snapshot_id"])
+
+    def read_staged(self, wap_id: str, include_deleted: bool = False) -> DataFrame:
+        """AUDIT read: the table as it WOULD look after publish."""
+        return self.read(
+            self._find_staged(wap_id)["snapshot_id"], include_deleted=include_deleted
+        )
+
+    def audit_staged(self, wap_id: str, **kwargs) -> DataFrame:
+        """AUDIT diff: exactly the row changes publish would apply
+        (``read_changes`` from the staged snapshot's parent — the shape
+        an audit rule engine filters: unexpected deletes, null-rate
+        spikes, schema drift in payloads)."""
+        st = self._find_staged(wap_id)
+        return self.read_changes(st["parent"], st["snapshot_id"], **kwargs)
+
+    def publish_staged(self, wap_id: str) -> dict:
+        """Fast-forward a staged snapshot into the published chain —
+        one metadata commit, zero data movement (the staged files are
+        already in place; publish re-lists them under an unstaged id).
+        Conflict rule (Iceberg cherry-pick's fast-forward case): the
+        published head must still be the staged snapshot's parent;
+        anything else re-stages against fresh state. Idempotent via
+        the epoch ledger: if every epoch the staged commit added is
+        already published, a retried publish is a no-op."""
+        st = self._find_staged(wap_id)
+        staged_epochs = set(st["summary"].get("committed_epochs", []))
+        while True:
+            cur = self.current_snapshot()
+            cur_epochs = set(cur["summary"].get("committed_epochs", []))
+            if staged_epochs and staged_epochs <= cur_epochs:
+                return {
+                    "already_published": True,
+                    "snapshot_id": cur["snapshot_id"],
+                }
+            if st["parent"] != cur["snapshot_id"]:
+                raise CommitConflictError(
+                    f"published head moved ({st['parent']} → "
+                    f"{cur['snapshot_id']}) since wap_id={wap_id!r} was "
+                    "staged; abandon and re-stage against current state"
+                )
+            new = dict(st)
+            del new["staged"]
+            new["snapshot_id"] = self.snapshot_ids()[-1] + 1
+            new["parent"] = cur["snapshot_id"]
+            summary = dict(new["summary"])
+            summary["published_from_wap"] = {
+                "wap_id": wap_id,
+                "staged_snapshot_id": st["snapshot_id"],
+            }
+            new["summary"] = summary
+            try:
+                self._commit(new)
+                return {
+                    "already_published": False,
+                    "snapshot_id": new["snapshot_id"],
+                    "staged_snapshot_id": st["snapshot_id"],
+                }
+            except CommitConflictError:
+                if self.current_snapshot()["snapshot_id"] != cur["snapshot_id"]:
+                    continue  # loop re-checks parent/epochs against new head
+                # staged claim raced the id; re-claim above it
+
+    def abandon_staged(self, wap_id: str) -> dict:
+        """Drop an unpublished staged snapshot: its manifest is removed
+        (same operation expiry performs) and its data files become
+        orphans for ``remove_orphan_files`` — grace-protected, so an
+        in-flight audit reader finishes before GC can touch them."""
+        st = self._find_staged(wap_id)
+        os.remove(self._snap_path(st["snapshot_id"]))
+        # only files no REMAINING snapshot references actually orphan
+        # (a CoW staged merge carries its parent's untouched groups)
+        still_live: set[str] = set()
+        for i in self.snapshot_ids():
+            for fg in self.snapshot(i)["file_groups"]:
+                still_live.update(fg["paths"])
+        orphaned = {
+            p for fg in st["file_groups"] for p in fg["paths"]
+        } - still_live
+        return {
+            "snapshot_id": st["snapshot_id"],
+            "orphaned_files": len(orphaned),
+        }
 
     def state_hash(self, snapshot_id: int | None = None) -> str:
         """Order-insensitive content hash of table state — the replay-
