@@ -278,3 +278,68 @@ def test_cli_maintain_expire_and_orphans(spark, tmp_path):
     t3 = LakeTable.load(spark, f"{tmp_path}/t")
     assert t3.state_hash() == pre
     assert t3.current_snapshot()["operation"] == "cluster"
+
+
+def test_cli_rollback_and_wap(spark, tmp_path):
+    """`rollback` and `wap` subcommands: the reorg/audit control plane
+    as spark-submit-able commands, reported as JSON."""
+    from pyspark.sql import types as T
+
+    from web3research_etl_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("event_seq", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{tmp_path}/t", schema, key=["url"],
+        version_order=["warc_ts", "event_seq"], n_buckets=4,
+    )
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows, "op string, url string, ts_s long, event_seq long, v string"
+        )
+        return df.select(
+            "op", "url", F.timestamp_seconds("ts_s").alias("warc_ts"), "event_seq", "v"
+        )
+
+    t.merge_changelog(batch([("I", "a", 100, 1, "a1")]), epoch_id=0)
+    s0 = t.current_snapshot()["snapshot_id"]
+    h0 = t.state_hash()
+    t.merge_changelog(batch([("U", "a", 200, 2, "a2")]), epoch_id=1)
+
+    out = _run_cli("rollback", "--table", f"{tmp_path}/t", "--to-snapshot", str(s0))
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["rolled_back_to"] == s0 and rep["reopened_epochs"] == [1]
+    t2 = LakeTable.load(spark, f"{tmp_path}/t")
+    assert t2.state_hash() == h0 and 1 not in t2.committed_epochs()
+
+    # stage through the API, then drive the audit gate via the CLI
+    t2.merge_changelog(
+        batch([("U", "a", 200, 2, "a2"), ("I", "b", 200, 3, "b1")]),
+        epoch_id=1, stage_wap_id="gate",
+    )
+    rep = json.loads(
+        _run_cli("wap", "--table", f"{tmp_path}/t", "--list").strip().splitlines()[-1]
+    )
+    assert [s["wap_id"] for s in rep["staged"]] == ["gate"]
+    rep = json.loads(
+        _run_cli("wap", "--table", f"{tmp_path}/t", "--audit", "gate")
+        .strip().splitlines()[-1]
+    )
+    assert rep["changes"] == {"update": 1, "insert": 1}
+    rep = json.loads(
+        _run_cli("wap", "--table", f"{tmp_path}/t", "--publish", "gate")
+        .strip().splitlines()[-1]
+    )
+    assert rep["publish"]["already_published"] is False
+    t3 = LakeTable.load(spark, f"{tmp_path}/t")
+    assert 1 in t3.committed_epochs()
+    assert {(r["url"], r["v"]) for r in t3.read().collect()} == {
+        ("a", "a2"), ("b", "b1"),
+    }

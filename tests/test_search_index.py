@@ -282,3 +282,53 @@ def test_multi_epoch_span_telescopes(spark, tmp_table_dir, base_docs_table):
         for r in indexed_postings(live).collect()
     )
     assert _live_postings(lazy) == want
+
+
+def test_run_sync_maintains_search_index_in_stream(spark, tmp_table_dir):
+    """run_sync(search_index=...) folds the index after every
+    micro-batch, in the same sidecar braid as feed/view: the final
+    index equals a from-scratch build of the converged table (url-keyed
+    pages corpus, multiple epochs)."""
+    from web3research_etl_spark.changelog import generate_changelog
+    from web3research_etl_spark.schemas import (
+        PAGES_KEY,
+        PAGES_SCHEMA,
+        PAGES_VERSION_ORDER,
+    )
+    from web3research_etl_spark.streaming.pipeline import run_sync
+
+    ch_dir = f"{tmp_table_dir}/ch"
+    generate_changelog(spark, 800).repartition(4).write.parquet(ch_dir)
+    base = LakeTable.create(
+        spark, f"{tmp_table_dir}/base", PAGES_SCHEMA,
+        key=PAGES_KEY, version_order=PAGES_VERSION_ORDER, n_buckets=4,
+    )
+    idx = create_search_index(
+        spark, f"{tmp_table_dir}/idx", id_name="url", id_type="string"
+    )
+    q = run_sync(
+        spark, ch_dir, base, f"{tmp_table_dir}/ckpt",
+        available_now=True, max_files_per_trigger=2,
+        search_index=idx, search_text_col="text",
+    )
+    q.awaitTermination()
+    assert len(base.committed_epochs()) >= 2  # several folds, not one
+
+    live = base.read().select("url", "text")
+    want = sorted(
+        (r.token, r.url, r.tf, r.dl)
+        for r in indexed_postings(live, id_col="url").collect()
+    )
+    got = sorted(
+        (r.token, r.url, r.tf, r.dl)
+        for r in index_postings_df(idx).collect()
+    )
+    assert got == want and got
+    # consumed-through marker rode each fold's commit
+    assert (
+        idx["postings"].current_snapshot()["summary"]["index_through"]
+        == base.current_snapshot()["snapshot_id"]
+    )
+    # and the stats side agrees with the converged corpus
+    n_docs = index_corpus_stats(idx).collect()[0]["n_docs"]
+    assert n_docs == live.count()

@@ -12,6 +12,9 @@ backfill), `sync` (unbounded tail), `check` (reconcile + heal). Ours:
                  [--vacuum-before TS] [--expire-keep N] [--remove-orphans]
                  [--rebucket N] [--expire-feed DIR] [--build-blooms]
                  [--cluster-by COL[,COL...] [--cluster-files-per-bucket K]]
+        rollback --table DIR --to-snapshot ID   (reorg: restore state +
+                 reopen the undone epochs for replay)
+        wap   --table DIR (--list | --audit ID | --publish ID | --abandon ID)
         gen   --out DIR --events N          (synthetic changelog fixture)
 
     All changelog-consuming commands accept ``--source-format wire`` to
@@ -111,6 +114,22 @@ def build_parser() -> argparse.ArgumentParser:
             "(replication-capable; see cdc_feed.apply_feed)",
         )
 
+    def _search_index_flags(sub: argparse.ArgumentParser) -> None:
+        sub.add_argument(
+            "--search-index",
+            default=None,
+            metavar="DIR",
+            help="maintain an inverted retrieval index (postings + doc "
+            "lengths LakeTables under DIR) incrementally from each epoch's "
+            "CDC span (operators/search_ivm) — created on first use, keyed "
+            "by the table's key column",
+        )
+        sub.add_argument(
+            "--search-text-col",
+            default="text",
+            help="tokenized column feeding the index (default: text)",
+        )
+
     def _view_flags(sub: argparse.ArgumentParser) -> None:
         sub.add_argument(
             "--view",
@@ -202,6 +221,7 @@ def build_parser() -> argparse.ArgumentParser:
     _dedup_flag(init)
     _feed_flags(init)
     _view_flags(init)
+    _search_index_flags(init)
     _maintain_flags(init)
 
     sync = subs.add_parser("sync", help="unbounded streaming tail")
@@ -213,6 +233,7 @@ def build_parser() -> argparse.ArgumentParser:
     _dedup_flag(sync)
     _feed_flags(sync)
     _view_flags(sync)
+    _search_index_flags(sync)
     _maintain_flags(sync)
 
     check = subs.add_parser("check", help="reconcile stored state vs changelog; optionally heal")
@@ -341,6 +362,49 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=1 << 16,
         help="bits per Bloom sidecar (size ~10x expected keys per file)",
+    )
+
+    rollback = subs.add_parser(
+        "rollback",
+        help="roll the table back to a prior snapshot (metadata-only "
+        "commit; restores the data state AND the committed-epochs ledger "
+        "so the undone epochs replay — the epoch-granularity reorg path "
+        "next to check --heal's key-granularity one)",
+    )
+    rollback.add_argument("--table", required=True, help="lake table root dir")
+    rollback.add_argument(
+        "--to-snapshot", type=int, required=True, metavar="ID",
+        help="target snapshot id (see the table's metadata/v*.json; must "
+        "not be expired)",
+    )
+
+    wap = subs.add_parser(
+        "wap",
+        help="write-audit-publish staging control: list staged snapshots, "
+        "audit one's pending diff, fast-forward publish it, or abandon it. "
+        "Stage with LakeTable.merge_changelog(stage_wap_id=...) — one "
+        "batch per wap_id, since sequential epochs staged against the "
+        "same published head would fork rather than chain",
+    )
+    wap.add_argument("--table", required=True, help="lake table root dir")
+    wap_action = wap.add_mutually_exclusive_group(required=True)
+    wap_action.add_argument(
+        "--list", action="store_true", help="print unpublished staged snapshots"
+    )
+    wap_action.add_argument(
+        "--audit", metavar="WAP_ID",
+        help="print the staged diff's per-change_type row counts (the "
+        "full diff is LakeTable.audit_staged for programmatic rules)",
+    )
+    wap_action.add_argument(
+        "--publish", metavar="WAP_ID",
+        help="fast-forward the staged snapshot into the published chain "
+        "(refuses if the head moved since staging)",
+    )
+    wap_action.add_argument(
+        "--abandon", metavar="WAP_ID",
+        help="drop the staged snapshot; its files become orphans for "
+        "maintain --remove-orphans",
     )
 
     gen = subs.add_parser("gen", help="write a deterministic synthetic changelog")
@@ -480,6 +544,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report))
         return 0
 
+    if args.cmd == "rollback":
+        from web3research_etl_spark.lake.table import LakeTable
+
+        table = LakeTable.load(spark, args.table)
+        print(json.dumps(table.rollback_to(args.to_snapshot)))
+        return 0
+
+    if args.cmd == "wap":
+        from web3research_etl_spark.lake.table import LakeTable
+
+        table = LakeTable.load(spark, args.table)
+        if args.list:
+            print(json.dumps({"staged": table.staged_snapshots()}))
+        elif args.audit:
+            counts = {
+                r["change_type"]: r["n"]
+                for r in table.audit_staged(args.audit)
+                .groupBy("change_type")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            print(json.dumps({"wap_id": args.audit, "changes": counts}))
+        elif args.publish:
+            print(json.dumps({"publish": table.publish_staged(args.publish)}))
+        else:
+            print(json.dumps({"abandon": table.abandon_staged(args.abandon)}))
+        return 0
+
     from web3research_etl_spark.ledger import open_ledger
     from web3research_etl_spark.registry import default_registry
 
@@ -530,6 +622,31 @@ def main(argv: list[str] | None = None) -> int:
                 view_value = lambda col: F.round(col(vcol), 2).cast("decimal(18,2)")  # noqa: E731
             else:
                 view_value = lambda col: F.lit(0).cast("decimal(18,2)")  # noqa: E731
+        search_index = None
+        if getattr(args, "search_index", None):
+            from web3research_etl_spark.operators.search_ivm import (
+                create_search_index,
+                load_search_index,
+            )
+
+            if os.path.exists(os.path.join(args.search_index, "postings", "metadata")):
+                search_index = load_search_index(spark, args.search_index)
+            else:
+                tkey = table.current_snapshot()["key"]
+                if len(tkey) != 1:
+                    print(
+                        "--search-index requires a single-column table key",
+                        file=sys.stderr,
+                    )
+                    return 2
+                id_type = next(
+                    f.dataType.simpleString()
+                    for f in table.schema().fields
+                    if f.name == tkey[0]
+                )
+                search_index = create_search_index(
+                    spark, args.search_index, id_name=tkey[0], id_type=id_type
+                )
         source_stream = None
         if getattr(args, "source_format", "changelog") == "wire":
             from web3research_etl_spark.sources.kafka_wire import stream_changelog_wire
@@ -568,6 +685,8 @@ def main(argv: list[str] | None = None) -> int:
             maintain_cluster_files=getattr(args, "maintain_cluster_files", 8),
             write_mode=getattr(args, "write_mode", None),
             sidecar_async=getattr(args, "async_sidecars", False),
+            search_index=search_index,
+            search_text_col=getattr(args, "search_text_col", "text"),
         )
         if args.cmd == "init":
             q.awaitTermination()

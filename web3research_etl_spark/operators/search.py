@@ -66,14 +66,18 @@ def doc_tokens(
     )
 
 
-def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The inverted index: (token, doc_id, tf) — one row per distinct
+def postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The inverted index: (token, <id>, tf) — one row per distinct
     (token, document) pair with its in-document term frequency. Write
     it bucketed/sorted by token and lookups are a metadata-pruned
-    single-bucket read (LakeTable with key=[token, doc_id])."""
+    single-bucket read (LakeTable with key=[token, id_col]).
+    ``id_col`` names the document key (doc_id for the documents corpus,
+    url for the pages table)."""
     return (
-        doc_tokens(docs, text_col=text_col)
-        .groupBy("token", "doc_id")
+        doc_tokens(docs, text_col=text_col, keep=(id_col,))
+        .groupBy("token", id_col)
         .agg(F.count("*").alias("tf"))
     )
 
@@ -287,7 +291,7 @@ def indexed_postings(
     :func:`postings` with the document's token length denormalized onto
     every posting. One extra join at BUILD time (amortized over every
     query) so query-time scoring needs no corpus-sized join at all."""
-    return postings(docs, text_col=text_col).join(
+    return postings(docs, text_col=text_col, id_col=id_col).join(
         doc_lengths(docs, text_col=text_col, id_col=id_col), id_col
     )
 

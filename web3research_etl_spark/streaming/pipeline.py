@@ -114,6 +114,8 @@ def run_sync(
     maintain_cluster_files: int = 8,
     write_mode: str | None = None,
     sidecar_async: bool = False,
+    search_index: dict | None = None,
+    search_text_col: str = "text",
 ):
     """Start the streaming apply. With ``available_now`` the query drains
     everything present and stops (bounded backfill); otherwise it tails.
@@ -198,6 +200,15 @@ def run_sync(
     applies as ever (delta'd buckets are never value-pruned until the
     next fold).
 
+    ``search_index`` (an ``operators/search_ivm`` index dict from
+    ``create_search_index``/``load_search_index``) keeps the inverted
+    retrieval index current alongside the sink: after each epoch's
+    merge, ``sync_search_index`` folds the base table's CDC span into
+    the postings + doc-lengths LakeTables — O(changed docs) per epoch,
+    same consumed-through/telescoping/self-heal contract as ``view``,
+    and it rides the same sidecar thread under ``sidecar_async``.
+    ``search_text_col`` names the tokenized column (default ``text``).
+
     ``sidecar_async=True`` moves the feed publish + view fold OFF the
     epoch critical path: they run in a background thread that OVERLAPS
     the next epoch's merge (VERDICT r4 next #2 — they were a fixed
@@ -245,6 +256,12 @@ def run_sync(
                 from web3research_etl_spark.operators.ivm import sync_view
 
                 sync_view(view, table, view_group, view_value)
+            if search_index is not None:
+                from web3research_etl_spark.operators.search_ivm import (
+                    sync_search_index,
+                )
+
+                sync_search_index(search_index, table, text_col=search_text_col)
         except Exception as e:  # surfaced at the next join point
             sidecar_state["error"] = e
 
