@@ -239,3 +239,91 @@ def test_wap_staged_mor_merge(spark, tmp_table_dir):
         ("b", "b1"),
         ("c", "c1"),
     }
+
+
+def test_expired_staged_snapshot_fails_publish_cleanly(spark, tmp_table_dir):
+    """A staged snapshot left unpublished past snapshot retention is
+    expired like any other history; a later publish must fail with the
+    clear not-found error (and the published chain is untouched)."""
+    t = _table(spark, tmp_table_dir)
+    _apply(t, spark, [1])
+    t.merge_changelog(_batch(spark, EPOCHS[2]), epoch_id=2, stage_wap_id="stale")
+    # bury the staged snapshot under newer published history, then expire
+    _apply(t, spark, [3, 4])
+    h = t.state_hash()
+    t.expire_snapshots(retain_last=2)
+    with pytest.raises(KeyError, match="stale"):
+        t.publish_staged("stale")
+    assert t.state_hash() == h
+
+
+def test_rollback_over_mor_deltas(spark, tmp_table_dir):
+    """Rollback restores a snapshot whose file groups include MoR delta
+    generations: the resolved read after rollback equals the original
+    resolved state at that snapshot (seq-based LWW tie-break intact)."""
+    t = _table(spark, tmp_table_dir)
+    _apply(t, spark, [1])
+    t.merge_changelog(_batch(spark, EPOCHS[2]), epoch_id=2, write_mode="mor")
+    s2 = t.current_snapshot()["snapshot_id"]
+    h2 = t.state_hash()
+    t.merge_changelog(_batch(spark, EPOCHS[3]), epoch_id=3, write_mode="mor")
+    t.merge_changelog(_batch(spark, EPOCHS[4]), epoch_id=4)
+    assert t.state_hash() != h2
+    t.rollback_to(s2)
+    assert t.state_hash() == h2
+    # replay through mixed write modes reconverges
+    t.merge_changelog(_batch(spark, EPOCHS[3]), epoch_id=3, write_mode="mor")
+    t.merge_changelog(_batch(spark, EPOCHS[4]), epoch_id=4)
+    assert {(r["url"], r["v"]) for r in t.read().collect()} == {
+        ("a", "a3"), ("c", "c2"), ("d", "d1"),
+    }
+
+
+def test_rollback_search_index_self_heals(spark, tmp_table_dir):
+    """A derived index whose base ROLLED BACK must converge to the
+    restored corpus: the fold sees the rollback commit as an ordinary
+    newer snapshot and read_changes hands it the inverse span."""
+    from pyspark.sql import types as T
+
+    from web3research_etl_spark.operators.search_ivm import (
+        create_search_index,
+        index_postings_df,
+        sync_search_index,
+    )
+    from web3research_etl_spark.operators.search import indexed_postings
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    base = LakeTable.create(
+        spark, f"{tmp_table_dir}/docs", schema,
+        key=["doc_id"], version_order=["ver"], n_buckets=4,
+    )
+
+    def ep(rows, e, v):
+        df = spark.createDataFrame(
+            rows, "op string, doc_id long, text string"
+        ).withColumn("ver", F.lit(v).cast("long"))
+        base.merge_changelog(df, epoch_id=e)
+
+    idx = create_search_index(spark, f"{tmp_table_dir}/idx", "doc_id", "bigint")
+    ep([("U", 1, "alpha beta"), ("U", 2, "beta gamma")], 1, 1)
+    s1 = base.current_snapshot()["snapshot_id"]
+    sync_search_index(idx, base)
+    ep([("U", 1, "delta only"), ("D", 2, None), ("U", 3, "epsilon")], 2, 2)
+    sync_search_index(idx, base)
+
+    base.rollback_to(s1)
+    sync_search_index(idx, base)  # folds the INVERSE span
+    got = sorted(
+        (r.token, r.doc_id, r.tf) for r in index_postings_df(idx).collect()
+    )
+    want = sorted(
+        (r.token, r.doc_id, r.tf)
+        for r in indexed_postings(base.read().select("doc_id", "text")).collect()
+    )
+    assert got == want and got
