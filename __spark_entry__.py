@@ -876,6 +876,18 @@ def q_doc_keyword_search(spark, sf_dir):
     )
 
 
+def q_doc_phrase_search(spark, sf_dir):
+    """Exact-phrase search over positional postings (late r5): docs
+    whose token stream contains "value table" CONSECUTIVELY, with the
+    occurrence count — the decontamination/entity-lookup operator where
+    conjunctive keyword search over-matches. Scan-fused contains()
+    pre-filter per term (plan-asserted in tests), one posexplode of the
+    candidates, n-1 skinny (doc_id, pos) equi-joins for adjacency."""
+    from web3research_etl_spark.operators.search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "value table")
+
+
 def q_doc_term_stats(spark, sf_dir):
     """Per-token document/collection frequency (the inverted index's
     df/cf statistics table), long tail bounded by min_df."""
@@ -1703,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    candidates) ---------------------------------------------
         "cdc_rollback_replay": q_cdc_rollback_replay,
         "cdc_wap_publish": q_cdc_wap_publish,
+        "doc_phrase_search": q_doc_phrase_search,
     }
 
 
@@ -3054,5 +3067,24 @@ def oracle_sql() -> dict[str, str]:
             FROM b_win b LEFT JOIN a_live a ON a.url = b.url
             WHERE (a.url IS NULL AND b.op <> 'D')
                OR (a.url IS NOT NULL AND (b.op = 'D' OR a.event_id <> b.event_id))
+        """,
+        # exact-phrase adjacency over the shared tokenizer: DuckDB's
+        # parallel unnest zips (token, position) exactly like Spark's
+        # posexplode over the same filtered split
+        "doc_phrase_search": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS token,
+                     unnest(range(len(list_filter(regexp_split_to_array(
+                       lower(text), '[^a-z0-9]+'), x -> x <> '')))) AS pos
+              FROM documents
+              WHERE contains(lower(text), 'value')
+                AND contains(lower(text), 'table')
+            )
+            SELECT a.doc_id AS doc_id, count(*) AS n_occurrences
+            FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.token = 'value' AND b.token = 'table'
+            GROUP BY a.doc_id
         """,
     }

@@ -63,7 +63,7 @@ ROTATED_OUT = {
 # the 50-seat roster above was already certified-in-flight): seated in
 # the tail so the pinned window stands; locally oracle-checked; the
 # natural r6-window candidates.
-TAIL_NEW_R5 = {"cdc_rollback_replay", "cdc_wap_publish"}
+TAIL_NEW_R5 = {"cdc_rollback_replay", "cdc_wap_publish", "doc_phrase_search"}
 
 
 def test_gate_window_is_exactly_the_declared_roster():

@@ -284,3 +284,78 @@ def test_int8_topk_plan_is_shuffle_free(spark):
     plan = int8_topk(emb, qv, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_positional_postings_and_phrase_search(spark):
+    from web3research_etl_spark.operators.search import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox, the quick dog"),
+            (2, "quick the brown"),
+            (3, "...the QUICK brown!"),   # punctuation + case
+            (4, "a a a"),                 # overlapping repeats
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    # positions count non-empty tokens: leading punctuation shifts nothing
+    pp = {
+        (r.doc_id, r.pos): r.token
+        for r in positional_postings(docs.filter("doc_id = 3")).collect()
+    }
+    assert pp == {(3, 0): "the", (3, 1): "quick", (3, 2): "brown"}
+
+    got = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_search(docs, "The Quick").collect()
+    }
+    assert got == {(1, 2), (3, 1)}  # doc 2 has both words, NOT adjacent
+
+    three = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_search(docs, "the quick brown").collect()
+    }
+    assert three == {(1, 1), (3, 1)}
+
+    # overlapping repeated-term phrase: "a a" occurs twice in "a a a"
+    rep = {
+        (r.doc_id, r.n_occurrences) for r in phrase_search(docs, "a a").collect()
+    }
+    assert rep == {(4, 2)}
+
+    # single-term phrase = occurrence count
+    single = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_search(docs, "quick").collect()
+    }
+    assert single == {(1, 2), (2, 1), (3, 1)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alnum"):
+        phrase_search(docs, "...")
+
+
+def test_phrase_search_prefilter_reaches_scan(spark, tmp_path):
+    """The per-term contains() pre-filter must be pushed into the
+    parquet scan so the positional explode runs on candidates only."""
+    from web3research_etl_spark.operators.search import phrase_search
+
+    p = f"{tmp_path}/docs"
+    spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 7 == 0 else "delta epsilon")
+         for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    q = phrase_search(docs, "alpha beta")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "alpha" in plan
+    assert {(r.doc_id, r.n_occurrences) for r in q.collect()} == {
+        (i, 1) for i in range(0, 200, 7)
+    }

@@ -412,3 +412,70 @@ def read_postings_for_terms(table, terms: list[str]) -> DataFrame:
         leg = table.read_for_column_range("token", t, t)
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, <id>, pos) — one row per token OCCURRENCE with its
+    0-based position in the tokenizer stream. Positions are counted
+    over NON-empty tokens (the split pattern emits a leading '' for
+    text starting with punctuation), so adjacency means "next word",
+    matching what a phrase query needs. Same two-stage projection as
+    :func:`doc_tokens`: split+filter run once per document, posexplode
+    is pure row amplification."""
+    staged = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_PATTERN),
+            lambda x: x != "",
+        ).alias("__t"),
+    )
+    return staged.select(id_col, F.posexplode("__t").alias("pos", "token"))
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    """Tokenize a phrase query with the corpus tokenizer (NOT
+    deduplicated — a phrase legitimately repeats words)."""
+    import re
+
+    terms = [t for t in re.split(TOKEN_SPLIT_PATTERN, phrase.lower()) if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one alnum token")
+    return terms
+
+
+def phrase_search(
+    docs: DataFrame, phrase: str, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-phrase search: (<id>, n_occurrences) for documents whose
+    token stream contains the phrase's tokens CONSECUTIVELY — the
+    operator a decontamination pass runs for benchmark passages and a
+    corpus-exploration pass runs for multi-word entities, where
+    conjunctive :func:`keyword_search` over-matches (terms anywhere in
+    the document).
+
+    Plan shape: scan-fused ``contains()`` pre-filters on the raw text
+    for every term (substring ⊇ token ⊇ phrase member — conservative,
+    pushed into the parquet scan) plus the whole lowercased phrase when
+    it carries an interior separator, then ONE positional-postings
+    explode of the surviving docs filtered to the phrase's terms. The
+    n-way adjacency is n-1 equi-joins on ``(<id>, pos)`` with the i-th
+    term's positions shifted by -i: only skinny (id, pos) pairs
+    shuffle, never text. A repeated term in the phrase joins the same
+    skinny side twice — no special case. Single-term phrases reduce to
+    an occurrence count."""
+    terms = _phrase_terms(phrase)
+    pre = docs
+    for t in set(terms):
+        pre = pre.filter(F.contains(F.lower(F.col(text_col)), F.lit(t)))
+    pp = positional_postings(pre, text_col=text_col, id_col=id_col).filter(
+        F.col("token").isin(list(set(terms)))
+    )
+    start = pp.filter(F.col("token") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], 1):
+        nxt = pp.filter(F.col("token") == t).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        start = start.join(nxt, [id_col, "pos"])
+    return start.groupBy(id_col).agg(F.count("*").alias("n_occurrences"))
