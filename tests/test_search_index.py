@@ -332,3 +332,53 @@ def test_run_sync_maintains_search_index_in_stream(spark, tmp_table_dir):
     # and the stats side agrees with the converged corpus
     n_docs = index_corpus_stats(idx).collect()[0]["n_docs"]
     assert n_docs == live.count()
+
+
+def test_phrase_search_indexed_equals_direct_no_corpus_scan(spark, tmp_table_dir):
+    """Phrase search served from a persisted token-z-ordered positional
+    postings LakeTable: row-identical to the direct-scan operator, with
+    no documents scan in the plan and file-skipping on token."""
+    from web3research_etl_spark.operators.search import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_postings,
+        read_postings_for_terms,
+    )
+
+    p = f"{tmp_table_dir}/docs"
+    spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta" if i % 3 == 0 else "beta alpha delta")
+         for i in range(120)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    pp = positional_postings(docs)
+    t = LakeTable.create(
+        spark, f"{tmp_table_dir}/pidx",
+        T.StructType([
+            T.StructField("token", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+        ]),
+        key=["token", "doc_id", "pos"],
+        n_buckets=8,
+    )
+    t.append(pp.select("token", "doc_id", "pos"))
+    t.rewrite_clustered(["token"], files_per_bucket=4)
+
+    pruned = read_postings_for_terms(t, ["alpha", "beta"])
+    got = phrase_search_indexed(pruned, "alpha beta")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "docs" not in plan  # no corpus scan anywhere in the plan
+
+    direct = sorted(
+        (r.doc_id, r.n_occurrences) for r in phrase_search(docs, "alpha beta").collect()
+    )
+    served = sorted((r.doc_id, r.n_occurrences) for r in got.collect())
+    assert served == direct and served
+
+    # the term reads skip files, not just filter rows
+    snap = t.current_snapshot()
+    _, kept, total = t._prune_groups_for_column_range(snap, "token", "alpha", "alpha")
+    assert kept < total

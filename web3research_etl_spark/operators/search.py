@@ -479,3 +479,34 @@ def phrase_search(
         )
         start = start.join(nxt, [id_col, "pos"])
     return start.groupBy(id_col).agg(F.count("*").alias("n_occurrences"))
+
+
+def phrase_search_indexed(
+    pos_postings_df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`phrase_search`, served from a persisted positional
+    postings table with ZERO corpus scans at query time.
+
+    ``pos_postings_df`` is any frame with (token, <id>, pos) —
+    typically :func:`read_postings_for_terms` over a positional
+    postings LakeTable z-ordered on token, where the per-term filter
+    becomes file-level skipping. Results are row-identical to the
+    direct-scan operator (both consume the same tokenizer stream).
+
+    Scale shape: only the phrase's terms' occurrence rows are read
+    (file-skipped by token); adjacency is the same n-1 skinny
+    (<id>, pos) equi-joins; nothing corpus-sized moves. The positional
+    table is one posexplode bigger than the tf-postings table (a row
+    per occurrence, not per pair) — the standard positional-index
+    trade, paid at build time."""
+    terms = _phrase_terms(phrase)
+    pp = pos_postings_df.filter(F.col("token").isin(list(set(terms))))
+    start = pp.filter(F.col("token") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], 1):
+        nxt = pp.filter(F.col("token") == t).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        start = start.join(nxt, [id_col, "pos"])
+    return start.groupBy(id_col).agg(F.count("*").alias("n_occurrences"))
